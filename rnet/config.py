@@ -1,0 +1,126 @@
+"""Config system: named hyperparameter sets in config.json + CLI overrides.
+
+Mirrors the reference's config mechanism (reference: config.json at repo root,
+selected by ``--model`` in train.py/test.py, with per-field CLI overrides such
+as ``--dropout`` and ``--question-injection``; SURVEY.md section 2 item 10 and
+section 5 "Config / flag system"). The schema is ours but reference-shaped: a
+flat JSON dict mapping a model name to its hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CONFIG_PATH = os.path.join(_REPO_ROOT, "config.json")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters for one named RN variant.
+
+    Frozen + hashable so it can ride along as a static argument to jitted
+    functions without retrigger surprises.
+    """
+
+    name: str = "original-fp"
+    state_description: bool = False
+
+    # --- from-pixels path ---
+    image_size: int = 128
+    conv_channels: Tuple[int, ...] = (24, 24, 24, 24)
+    conv_kernel: int = 3
+    conv_stride: int = 2
+
+    # --- state-description path ---
+    max_objects: int = 12
+    object_dim: int = 18  # 3 coords + 8 color + 3 shape + 2 material + 2 size
+
+    # --- question encoder ---
+    lstm_word_emb: int = 32
+    lstm_hidden: int = 128
+    question_max_len: int = 48
+
+    # --- relational core ---
+    g_layers: Tuple[int, ...] = (256, 256, 256, 256)
+    question_injection_position: int = 0
+    f_layers: Tuple[int, ...] = (256, 256)
+    dropout: float = 0.5
+    pair_dropout: float = 0.0
+
+    # --- runtime ---
+    n_answers: int = 28
+    # 'auto' | 'naive' | 'xla' | 'pallas' : implementation of the pairwise core.
+    rl_impl: str = "auto"
+    # compute dtype for the hot path ('bfloat16' or 'float32'); params stay fp32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def grid(self) -> int:
+        """Side of the conv feature grid (from-pixels)."""
+        g = self.image_size
+        for _ in self.conv_channels:
+            g = (g + 2 * (self.conv_kernel // 2) - self.conv_kernel) // self.conv_stride + 1
+        return g
+
+    @property
+    def n_objects(self) -> int:
+        return self.max_objects if self.state_description else self.grid * self.grid
+
+    @property
+    def obj_feat_dim(self) -> int:
+        """Per-object feature dim entering the relational core."""
+        if self.state_description:
+            return self.object_dim
+        return self.conv_channels[-1] + 2  # conv features + 2-D coordinate tag
+
+    def replace(self, **kw: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_TUPLE_FIELDS = {"conv_channels", "g_layers", "f_layers"}
+
+
+def _coerce(d: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    valid = {f.name for f in dataclasses.fields(ModelConfig)}
+    for k, v in d.items():
+        if k not in valid:
+            continue
+        if k in _TUPLE_FIELDS and isinstance(v, list):
+            v = tuple(v)
+        out[k] = v
+    return out
+
+
+def load_config(
+    model: str = "original-fp",
+    config_path: Optional[str] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> ModelConfig:
+    """Load a named model config, applying CLI-style overrides.
+
+    Reference behavior: ``hyp = json.load(open('config.json'))[args.model]``
+    then per-field CLI overrides (SURVEY.md section 3.1).
+    """
+    path = config_path or DEFAULT_CONFIG_PATH
+    with open(path) as f:
+        all_cfg = json.load(f)
+    if model not in all_cfg:
+        raise KeyError(
+            f"model {model!r} not in {path}; available: {sorted(all_cfg)}"
+        )
+    d = _coerce(all_cfg[model])
+    d["name"] = model
+    if overrides:
+        d.update(_coerce({k: v for k, v in overrides.items() if v is not None}))
+    return ModelConfig(**d)
+
+
+def list_models(config_path: Optional[str] = None) -> List[str]:
+    path = config_path or DEFAULT_CONFIG_PATH
+    with open(path) as f:
+        return sorted(json.load(f))
