@@ -1,0 +1,110 @@
+"""Shared CLI plumbing for train.py / test.py / extract.py.
+
+Flag surface mirrors the reference's argparse (SURVEY.md section 5 "Config /
+flag system"): --model selects a config.json entry; per-field overrides
+(--dropout, --question-injection); --clevr-dir, --invert-questions,
+--clip-norm, --resume, --epochs, --batch-size, --seed, --log-interval,
+--test-results-dir, --features-dirs; LR/BS doubling knobs. TPU-native extras:
+--mesh, --precision, --rl-impl.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, Tuple
+
+from .config import DEFAULT_CONFIG_PATH, ModelConfig, load_config
+from .data.clevr import ClevrDataset, ClevrDatasetStateDescription
+from .data.vocab import Dictionaries, build_dictionaries
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--clevr-dir", required=True, help="CLEVR_v1.0 root directory")
+    p.add_argument("--model", default="original-fp", help="config.json model name")
+    p.add_argument("--config", default=DEFAULT_CONFIG_PATH, help="config.json path")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--num-workers", type=int, default=8, help="decode threads")
+    p.add_argument(
+        "--invert-questions",
+        dest="invert",
+        action="store_true",
+        default=True,
+        help="reverse question token order (default on, as in the reference)",
+    )
+    p.add_argument("--no-invert-questions", dest="invert", action="store_false")
+    # config overrides
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument(
+        "--question-injection",
+        type=int,
+        default=None,
+        dest="question_injection_position",
+        help="g layer index where the question is concatenated",
+    )
+    p.add_argument("--pair-dropout", type=float, default=None, dest="pair_dropout")
+    # TPU-native knobs
+    p.add_argument(
+        "--precision",
+        choices=["bfloat16", "float32"],
+        default=None,
+        dest="compute_dtype",
+    )
+    p.add_argument(
+        "--rl-impl",
+        choices=["auto", "naive", "xla", "pallas"],
+        default=None,
+        dest="rl_impl",
+        help="pairwise-core implementation (default: auto)",
+    )
+    p.add_argument(
+        "--mesh",
+        default=None,
+        help='device mesh spec, e.g. "data:8" or "data:4,pairs:2" (default: all devices on data)',
+    )
+
+
+def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConfig:
+    overrides = {
+        k: getattr(args, k, None)
+        for k in (
+            "dropout",
+            "question_injection_position",
+            "pair_dropout",
+            "compute_dtype",
+            "rl_impl",
+        )
+    }
+    cfg = load_config(args.model, args.config, overrides)
+    return cfg.replace(n_answers=dicts.n_answers)
+
+
+def build_datasets(
+    args: argparse.Namespace, cfg: ModelConfig, dicts: Dictionaries, splits=("train", "val")
+) -> Dict[str, Any]:
+    out = {}
+    for split in splits:
+        if cfg.state_description:
+            out[split] = ClevrDatasetStateDescription(
+                args.clevr_dir,
+                split,
+                dicts,
+                max_objects=cfg.max_objects,
+                object_dim=cfg.object_dim,
+                question_max_len=cfg.question_max_len,
+            )
+        else:
+            out[split] = ClevrDataset(
+                args.clevr_dir,
+                split,
+                dicts,
+                image_size=cfg.image_size,
+                question_max_len=cfg.question_max_len,
+                train_transform=(split == "train"),
+            )
+    return out
+
+
+def load_dicts(args: argparse.Namespace) -> Dictionaries:
+    return build_dictionaries(args.clevr_dir)

@@ -1,0 +1,326 @@
+"""Fused Pallas TPU kernel for the O(n^2) pairwise g_theta core.
+
+This is the TPU-native answer to the reference's pair-expansion hot spot
+(SURVEY.md 3.3: the (B, 4096, 2c+h) pair tensor the reference materializes in
+GPU HBM — and BASELINE.json's requirement that we never materialize it).
+
+Decomposition (see models/relational.py): since concatenation feeds a linear
+layer, g layer 0 factors into per-object projections
+    u = x @ W0[:c],  v = x @ W0[c:2c],  per-sample shift s = b0 (+ q @ W0q),
+so the pair row for (i, j) enters the MLP as relu(u_i + v_j + s). Question
+injection at layer p > 0 likewise reduces to a per-sample additive term
+qa = q @ Wq_p. The kernel therefore only handles the n^2-heavy part:
+
+    out[b] = sum_{i,j} gL(...g1(relu(u_i + v_j + s))...)        (B, H)
+
+Grid: (B, n/TI); each step processes a TI x TJ tile of (i, j) pairs entirely
+in VMEM — activations never touch HBM. Sum-pooling is associative, so the
+running (1, H) accumulator is exact. The custom VJP recomputes tile
+activations in the backward (flash-attention-style recompute): dW/db/ds/dqa
+accumulate in fp32 VMEM blocks revisited across the sequential TPU grid;
+du/dv stream out per (b, i)-tile.
+
+The thin projections (x->u,v; q->qa; dx, dq, dW0) stay in XLA outside the
+custom_vjp boundary, so autodiff handles them for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Reference (pure jnp) core — used on non-TPU backends and as the test oracle.
+# ---------------------------------------------------------------------------
+
+
+def pairwise_core_reference(u, v, s, qa, ws, bs, inject: int):
+    """out[b] = sum_{i,j} g-chain(relu(u[b,i] + v[b,j] + s[b]))."""
+    B, n, H = u.shape
+    a = jax.nn.relu(u[:, :, None, :] + v[:, None, :, :] + s[:, None, None, :])
+    a = a.reshape(B, n * n, H)
+    L = ws.shape[0] + 1
+    for l in range(1, L):
+        pre = a @ ws[l - 1] + bs[l - 1][None, None, :]
+        if l == inject:
+            pre = pre + qa[:, None, :]
+        a = jax.nn.relu(pre)
+    return a.sum(axis=1).astype(_F32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject, TI, TJ, n):
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    cdt = u_ref.dtype
+    u = u_ref[0]  # (TI, H)
+    s = s_ref[0]  # (1, H) block -> (H,)
+    acc = jnp.zeros((out_ref.shape[-1],), _F32)
+    for jt in range(n // TJ):
+        vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]  # (TJ, H)
+        pre0 = (
+            u[:, None, :].astype(_F32)
+            + vblk[None, :, :].astype(_F32)
+            + s[None, None, :].astype(_F32)
+        )
+        a = jax.nn.relu(pre0).reshape(TI * TJ, u.shape[-1]).astype(cdt)
+        for l in range(1, L):
+            pre = jnp.dot(a, w_ref[l - 1], preferred_element_type=_F32)
+            pre = pre + b_ref[l - 1][None, :].astype(_F32)
+            if l == inject:
+                pre = pre + qa_ref[0][None, :].astype(_F32)
+            a = jax.nn.relu(pre).astype(cdt)
+        acc = acc + jnp.sum(a.astype(_F32), axis=0)
+    out_ref[0] += acc
+
+
+def _bwd_kernel(
+    u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, g_ref,
+    du_ref, dv_ref, ds_ref, dqa_ref, dw_ref, db_ref,
+    *, L, inject, TI, TJ, n,
+):
+    b_idx = pl.program_id(0)
+    it = pl.program_id(1)
+
+    @pl.when((b_idx == 0) & (it == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when(it == 0)
+    def _():
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        dqa_ref[...] = jnp.zeros_like(dqa_ref)
+
+    cdt = u_ref.dtype
+    H = u_ref.shape[-1]
+    u = u_ref[0]
+    s = s_ref[0]
+    g = g_ref[0].astype(_F32)  # (H,) upstream grad of the pooled sum
+    du_acc = jnp.zeros((TI, H), _F32)
+    for jt in range(n // TJ):
+        vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]
+        # --- recompute forward activations for this tile ---
+        pre0 = (
+            u[:, None, :].astype(_F32)
+            + vblk[None, :, :].astype(_F32)
+            + s[None, None, :].astype(_F32)
+        )
+        acts = [jax.nn.relu(pre0).reshape(TI * TJ, H).astype(cdt)]
+        for l in range(1, L):
+            pre = jnp.dot(acts[-1], w_ref[l - 1], preferred_element_type=_F32)
+            pre = pre + b_ref[l - 1][None, :].astype(_F32)
+            if l == inject:
+                pre = pre + qa_ref[0][None, :].astype(_F32)
+            acts.append(jax.nn.relu(pre).astype(cdt))
+        # --- backward through the chain; d(a_{L-1}) = g for every pair ---
+        d = jnp.broadcast_to(g[None, :], (TI * TJ, H))
+        for l in range(L - 1, 0, -1):
+            dpre = jnp.where(acts[l] > 0, d, 0.0).astype(cdt)
+            dw_ref[l - 1] += jax.lax.dot_general(
+                acts[l - 1], dpre,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            )
+            db_ref[l - 1] += jnp.sum(dpre.astype(_F32), axis=0)
+            if l == inject:
+                dqa_ref[0] += jnp.sum(dpre.astype(_F32), axis=0)
+            d = jax.lax.dot_general(
+                dpre, w_ref[l - 1],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32,
+            )
+        dpre0 = jnp.where(acts[0] > 0, d, 0.0)  # (TI*TJ, H) fp32
+        ds_ref[0] += jnp.sum(dpre0, axis=0)
+        t = dpre0.reshape(TI, TJ, H)
+        du_acc += jnp.sum(t, axis=1)
+        dv_ref[0, jt * TJ : (jt + 1) * TJ, :] += jnp.sum(t, axis=0)
+    du_ref[0] = du_acc
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _tiles(n: int) -> Tuple[int, int]:
+    """(TI, TJ): i-tile and j-tile so TI*TJ rows feed the MXU well."""
+    ti = 16 if n % 16 == 0 else (8 if n % 8 == 0 else 0)
+    tj = n if n <= 128 else 128
+    if tj and n % tj:
+        tj = 0
+    # keep tiles >= 512 rows where possible
+    if ti and tj and ti * tj < 512 and n % (2 * ti) == 0:
+        ti *= 2
+    return ti, tj
+
+
+def _supported(n: int, H: int, L: int) -> bool:
+    ti, tj = _tiles(n)
+    return bool(ti and tj) and H % 128 == 0 and L >= 2
+
+
+def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
+    B, n, H = u.shape
+    L = ws.shape[0] + 1
+    TI, TJ = _tiles(n)
+    kern = functools.partial(_fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, n=n)
+    flops = 2 * B * n * n * (L - 1) * H * H + 2 * B * n * n * H
+    return pl.pallas_call(
+        kern,
+        grid=(B, n // TI),
+        in_specs=[
+            pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), _F32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=u.size * 2 * u.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(u, v, s, qa, ws, bs)
+
+
+def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
+    B, n, H = u.shape
+    L = ws.shape[0] + 1
+    TI, TJ = _tiles(n)
+    kern = functools.partial(_bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, n=n)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, n, H), _F32),  # du
+        jax.ShapeDtypeStruct((B, n, H), _F32),  # dv
+        jax.ShapeDtypeStruct((B, H), _F32),  # ds
+        jax.ShapeDtypeStruct((B, H), _F32),  # dqa
+        jax.ShapeDtypeStruct((L - 1, H, H), _F32),  # dws
+        jax.ShapeDtypeStruct((L - 1, H), _F32),  # dbs
+    )
+    out_specs = (
+        pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B, n // TI),
+        in_specs=[
+            pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(u, v, s, qa, ws, bs, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(inject: int, interpret: bool):
+    @jax.custom_vjp
+    def core(u, v, s, qa, ws, bs):
+        return _fwd_pallas(u, v, s, qa, ws, bs, inject, interpret)
+
+    def fwd(u, v, s, qa, ws, bs):
+        return core(u, v, s, qa, ws, bs), (u, v, s, qa, ws, bs)
+
+    def bwd(res, gout):
+        u, v, s, qa, ws, bs = res
+        du, dv, ds, dqa, dws, dbs = _bwd_pallas(
+            u, v, s, qa, ws, bs, gout.astype(_F32), inject, interpret
+        )
+        return (
+            du.astype(u.dtype),
+            dv.astype(v.dtype),
+            ds.astype(s.dtype),
+            dqa.astype(qa.dtype),
+            dws.astype(ws.dtype),
+            dbs.astype(bs.dtype),
+        )
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def pairwise_core(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = False):
+    """Dispatch: fused Pallas on TPU (or interpret mode), jnp elsewhere."""
+    B, n, H = u.shape
+    L = ws.shape[0] + 1
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or interpret) and _supported(n, H, L):
+        return _make_core(inject, interpret)(u, v, s, qa, ws, bs)
+    return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
+
+
+# ---------------------------------------------------------------------------
+# High-level entry: full g_theta pooled sum from objects + question
+# ---------------------------------------------------------------------------
+
+
+def fused_pairwise_g(
+    x: jnp.ndarray,  # (B, n, c) objects
+    q: jnp.ndarray,  # (B, h) question encoding
+    gw: Sequence[jnp.ndarray],  # g layer kernels (layer 0: (2c[+h], H))
+    gb: Sequence[jnp.ndarray],
+    *,
+    inject: int,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pooled g_theta over all object pairs; (B, g_out) fp32.
+
+    The thin projections are plain JAX (autodiff handles their grads); the
+    n^2-heavy chain runs in the fused kernel via pairwise_core.
+    """
+    B, n, c = x.shape
+    H = gw[0].shape[-1]
+    dt = jnp.dtype(dtype)
+    x = x.astype(dt)
+    q = q.astype(dt)
+    w0 = gw[0].astype(dt)
+    u = x @ w0[:c]
+    v = x @ w0[c : 2 * c]
+    s = jnp.broadcast_to(gb[0].astype(dt)[None, :], (B, H))
+    if inject == 0:
+        s = s + q @ w0[2 * c :]
+        qa = jnp.zeros((B, H), dt)
+        ws = jnp.stack([gw[l].astype(dt) for l in range(1, len(gw))])
+        bs = jnp.stack([gb[l].astype(dt) for l in range(1, len(gw))])
+    else:
+        h_prev = gw[inject].shape[0] - q.shape[-1]
+        qa = q @ gw[inject][h_prev:].astype(dt)
+        ws_list, bs_list = [], []
+        for l in range(1, len(gw)):
+            wl = gw[l].astype(dt)
+            ws_list.append(wl[:h_prev] if l == inject else wl)
+            bs_list.append(gb[l].astype(dt))
+        ws = jnp.stack(ws_list)
+        bs = jnp.stack(bs_list)
+    return pairwise_core(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)

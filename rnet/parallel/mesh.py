@@ -1,0 +1,100 @@
+"""Device mesh + sharding layout for data-parallel (and pair-parallel) training.
+
+TPU-native replacement for the reference's ``nn.DataParallel`` (SURVEY.md 2.8):
+  * 1-D/2-D `jax.sharding.Mesh` with axes ('data', 'pairs').
+  * the batch is sharded over 'data'; parameters/optimizer state are
+    replicated; jit's sharding propagation inserts the gradient allreduce
+    (psum over ICI) — no hand-written collectives.
+  * the optional 'pairs' axis shards the O(n^2) pair-activation axis of the
+    relational core (the model's quadratic dimension — the sequence-parallel
+    analogue per SURVEY.md section 5): a with_sharding_constraint on the
+    (B, n^2, H) activations makes XLA partition the g matmul chain over chips
+    and reduce the pair sum over ICI.
+
+The same code runs on one chip (trivial mesh), a v5e-8 slice, or the 8-device
+virtual CPU platform used by tests and the driver's multi-chip dry-run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_state = threading.local()
+
+
+def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
+    """Build a mesh from a spec like "data:4" or "data:4,pairs:2".
+
+    Default: all devices on the 'data' axis (pure DP, the reference-equivalent
+    strategy).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if not spec:
+        return Mesh(np.asarray(devices), ("data",))
+    names, sizes = [], []
+    for part in spec.split(","):
+        name, _, size = part.partition(":")
+        names.append(name.strip())
+        sizes.append(int(size))
+    total = int(np.prod(sizes))
+    if total != len(devices):
+        raise ValueError(
+            f"mesh spec {spec!r} needs {total} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, tuple(names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: sharded over 'data', replicated elsewhere."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    s = batch_sharding(mesh)
+
+    def _put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_put, batch)
+
+
+def replicate_state(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+# ---- pair-axis sharding context (consumed by models/relational.py) ----
+
+
+@contextlib.contextmanager
+def pair_sharding(mesh: Mesh):
+    """Within this context, relational (B, n^2, H) activations are constrained
+    to P('data', 'pairs', None) so the pair axis splits across the 'pairs'
+    mesh axis."""
+    prev = getattr(_state, "mesh", None)
+    _state.mesh = mesh if "pairs" in mesh.axis_names else None
+    try:
+        yield
+    finally:
+        _state.mesh = prev
+
+
+def constrain_pairs(a):
+    """Apply the pair-axis sharding constraint if a pair mesh is active."""
+    mesh = getattr(_state, "mesh", None)
+    if mesh is None:
+        return a
+    return jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, P("data", "pairs", None))
+    )

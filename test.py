@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Evaluate a trained Relation Network on CLEVR val (TPU-native).
+
+Reference-parity CLI (SURVEY.md 3.2, reference test.py): loads a checkpoint,
+runs the val split, prints overall accuracy, and dumps per-answer-class
+accuracies + confusion matrix (csv/png) into --test-results-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from rnet.cli import add_common_args
+
+    add_common_args(p)
+    p.add_argument(
+        "--checkpoint",
+        required=True,
+        help="orbax checkpoint path, epoch number, or weights-only .pkl export",
+    )
+    p.add_argument("--checkpoint-dir", default="model")
+    p.add_argument("--test-results-dir", default="results")
+    p.add_argument("--split", default="val")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from rnet.cli import build_datasets, config_from_args, load_dicts
+    from rnet.train.checkpoint import import_weights
+    from rnet.train.loop import Trainer
+    from rnet.train.schedules import DoublingSchedule
+
+    dicts = load_dicts(args)
+    cfg = config_from_args(args, dicts)
+    ds = build_datasets(args, cfg, dicts, splits=("train", args.split))
+
+    trainer = Trainer(
+        cfg,
+        dicts.vocab_size,
+        ds["train"],
+        ds[args.split],
+        dicts,
+        lr=DoublingSchedule(1e-4),
+        bs=DoublingSchedule(args.batch_size, 1.0, 0),
+        seed=args.seed,
+        invert=args.invert,
+        num_threads=args.num_workers,
+        mesh_spec=args.mesh,
+        checkpoint_dir=args.checkpoint_dir,
+        log_interval=args.log_interval,
+    )
+    if str(args.checkpoint).endswith(".pkl"):
+        trainer.state = import_weights(trainer.state, args.checkpoint)
+    else:
+        ckpt = int(args.checkpoint) if str(args.checkpoint).isdigit() else args.checkpoint
+        trainer.resume(ckpt)
+
+    stats = trainer.eval_epoch(trainer.epoch, batch_size=args.batch_size)
+    acc = stats.pop("_accumulator")
+    paths = acc.dump(args.test_results_dir, tag=args.split)
+    print(f"overall accuracy: {acc.accuracy:.4f} | mean NLL: {acc.mean_nll:.4f}")
+    for cls, v in sorted(acc.per_class_accuracy().items()):
+        print(f"  {cls:10s}: {v:.4f}")
+    print(f"reports: {paths}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

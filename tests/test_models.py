@@ -1,0 +1,201 @@
+"""Model-layer tests: shapes, impl equivalence, injection semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnet.config import ModelConfig, load_config
+from rnet.models import RN
+from rnet.models.conv import ConvInputModel
+from rnet.models.relational import RelationalLayer, g_input_dims
+from rnet.models.rn import grid_coords
+from rnet.models.text import QuestionEmbedModel
+
+V = 50  # test vocab size
+
+
+def test_config_grid_math():
+    cfg = load_config("original-fp")
+    assert cfg.grid == 8 and cfg.n_objects == 64 and cfg.obj_feat_dim == 26
+    cfg16 = load_config("stretch-fp-16")
+    assert cfg16.grid == 16 and cfg16.n_objects == 256
+    sd = load_config("original-sd")
+    assert sd.n_objects == 12 and sd.obj_feat_dim == 18
+
+
+def test_conv_shapes():
+    m = ConvInputModel(dtype=jnp.float32)
+    x = jnp.ones((2, 128, 128, 3))
+    params = m.init(jax.random.key(0), x, train=False)
+    y = m.apply(params, x, train=False)
+    assert y.shape == (2, 8, 8, 24)
+    # train mode updates batch_stats
+    y2, updates = m.apply(
+        params, x, train=True, mutable=["batch_stats"]
+    )
+    assert y2.shape == (2, 8, 8, 24)
+    assert "batch_stats" in updates
+
+
+def test_lstm_masking_invariance():
+    """Final hidden state must not depend on the amount of padding."""
+    m = QuestionEmbedModel(vocab_size=V, emb_dim=8, hidden=16)
+    t_short = jnp.array([[3, 5, 7, 0, 0, 0]], dtype=jnp.int32)
+    t_long = jnp.array([[3, 5, 7] + [0] * 13], dtype=jnp.int32)
+    params = m.init(jax.random.key(0), t_short)
+    h1 = m.apply(params, t_short)
+    h2 = m.apply(params, t_long)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2[:, :]), atol=1e-6)
+    # inverted (pads first) gives the reversed-sequence encoding, also
+    # independent of pad count
+    t_inv1 = jnp.array([[0, 0, 0, 7, 5, 3]], dtype=jnp.int32)
+    t_inv2 = jnp.array([[0] * 13 + [7, 5, 3]], dtype=jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, t_inv1)),
+        np.asarray(m.apply(params, t_inv2)),
+        atol=1e-6,
+    )
+
+
+def test_g_input_dims_injection():
+    assert g_input_dims(26, 128, (256,) * 4, 0) == [52 + 128, 256, 256, 256]
+    assert g_input_dims(26, 128, (256,) * 4, 2) == [52, 256, 256 + 128, 256]
+
+
+@pytest.mark.parametrize("inject", [0, 2])
+def test_relational_naive_vs_xla(inject):
+    """The decomposed XLA path must match literal pair materialization."""
+    B, n, c, h = 3, 10, 18, 32
+    kw = dict(
+        obj_dim=c,
+        q_dim=h,
+        g_layers=(64, 64, 64, 64),
+        f_layers=(64, 64),
+        n_answers=28,
+        question_injection_position=inject,
+        dropout=0.0,
+        dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(1), (B, n, c))
+    q = jax.random.normal(jax.random.key(2), (B, h))
+    m_naive = RelationalLayer(impl="naive", **kw)
+    m_xla = RelationalLayer(impl="xla", **kw)
+    params = m_naive.init(jax.random.key(0), x, q)
+    out_naive = m_naive.apply(params, x, q)
+    out_xla = m_xla.apply(params, x, q)
+    np.testing.assert_allclose(
+        np.asarray(out_naive), np.asarray(out_xla), rtol=1e-4, atol=1e-5
+    )
+    assert out_naive.shape == (B, 28)
+    # log-softmax outputs
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out_xla)).sum(-1), np.ones(B), rtol=1e-5
+    )
+
+
+def test_relational_grads_naive_vs_xla():
+    B, n, c, h = 2, 6, 5, 8
+    kw = dict(
+        obj_dim=c,
+        q_dim=h,
+        g_layers=(32, 32),
+        f_layers=(16,),
+        n_answers=7,
+        question_injection_position=1,
+        dropout=0.0,
+        dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(1), (B, n, c))
+    q = jax.random.normal(jax.random.key(2), (B, h))
+    m_naive = RelationalLayer(impl="naive", **kw)
+    m_xla = RelationalLayer(impl="xla", **kw)
+    params = m_naive.init(jax.random.key(0), x, q)
+
+    def loss(p, m):
+        return -m.apply(p, x, q)[:, 0].mean()
+
+    gn = jax.grad(loss)(params, m_naive)
+    gx = jax.grad(loss)(params, m_xla)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        ),
+        gn,
+        gx,
+    )
+
+
+def test_pair_dropout_scaling():
+    B, n, c, h = 4, 8, 6, 8
+    kw = dict(
+        obj_dim=c, q_dim=h, g_layers=(32, 32), f_layers=(16,), n_answers=7,
+        question_injection_position=0, dropout=0.0, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(1), (B, n, c))
+    q = jax.random.normal(jax.random.key(2), (B, h))
+    m0 = RelationalLayer(impl="xla", pair_dropout=0.0, **kw)
+    m5 = RelationalLayer(impl="xla", pair_dropout=0.5, **kw)
+    params = m0.init(jax.random.key(0), x, q)
+    base = m0.apply(params, x, q, train=False)
+    # eval: pair dropout off -> identical
+    same = m5.apply(params, x, q, train=False)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-6)
+    # train: stochastic but different from base
+    out = m5.apply(
+        params, x, q, train=True, rngs={"dropout": jax.random.key(3)}
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(out))
+
+
+def test_grid_coords():
+    c = grid_coords(8)
+    assert c.shape == (64, 2)
+    np.testing.assert_allclose(np.asarray(c[0]), [-1, -1])
+    np.testing.assert_allclose(np.asarray(c[7]), [1, -1])  # end of first row
+    np.testing.assert_allclose(np.asarray(c[63]), [1, 1])
+
+
+@pytest.mark.parametrize("model", ["original-sd", "original-fp"])
+def test_rn_forward_shapes(model):
+    cfg = load_config(model, overrides={"compute_dtype": "float32", "rl_impl": "xla"})
+    # shrink for test speed
+    if not cfg.state_description:
+        cfg = cfg.replace(image_size=64, g_layers=(64,) * 4, f_layers=(32, 32))
+    else:
+        cfg = cfg.replace(g_layers=(64,) * 4, f_layers=(32, 32), lstm_hidden=32)
+    m = RN(cfg=cfg, vocab_size=V)
+    B = 2
+    if cfg.state_description:
+        inputs = jax.random.normal(jax.random.key(0), (B, cfg.max_objects, 18))
+    else:
+        inputs = jax.random.randint(
+            jax.random.key(0), (B, cfg.image_size, cfg.image_size, 3), 0, 255
+        ).astype(jnp.uint8)
+    qst = jnp.ones((B, cfg.question_max_len), dtype=jnp.int32)
+    params = m.init(jax.random.key(0), inputs, qst, train=False)
+    out = m.apply(params, inputs, qst, train=False)
+    assert out.shape == (B, 28)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), np.ones(B), rtol=1e-4)
+
+
+def test_rn_extract_ir_model():
+    cfg = load_config(
+        "ir-sd",
+        overrides={"compute_dtype": "float32", "rl_impl": "xla"},
+    ).replace(g_layers=(64,) * 4, f_layers=(32,), lstm_hidden=32)
+    m = RN(cfg=cfg, vocab_size=V)
+    B = 2
+    inputs = jax.random.normal(jax.random.key(0), (B, cfg.max_objects, 18))
+    qst = jnp.ones((B, cfg.question_max_len), dtype=jnp.int32)
+    params = m.init(jax.random.key(0), inputs, qst, train=False)
+    feats = m.apply(params, inputs, method=RN.extract)
+    assert feats.shape == (B, 64)  # g_layers[inject-1]
+    # question-independence: extraction never touches text/LSTM params
+    m0 = RN(cfg=cfg.replace(question_injection_position=0), vocab_size=V)
+    with pytest.raises(ValueError):
+        m0.apply(
+            m0.init(jax.random.key(0), inputs, qst, train=False),
+            inputs,
+            method=RN.extract,
+        )

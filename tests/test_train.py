@@ -1,0 +1,143 @@
+"""Training-layer tests: schedules, checkpoint round-trip, e2e overfit."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnet.config import load_config
+from rnet.data.clevr import ClevrDataset, ClevrDatasetStateDescription
+from rnet.data.pipeline import BatchIterator
+from rnet.train.checkpoint import CheckpointManager, export_weights, import_weights
+from rnet.train.loop import Trainer, set_learning_rate
+from rnet.train.schedules import DoublingSchedule
+
+
+def test_doubling_schedule():
+    s = DoublingSchedule(base=1e-4, gamma=2.0, step=2, max=4e-4)
+    assert s.value(1) == pytest.approx(1e-4)
+    assert s.value(2) == pytest.approx(1e-4)
+    assert s.value(3) == pytest.approx(2e-4)
+    assert s.value(5) == pytest.approx(4e-4)
+    assert s.value(50) == pytest.approx(4e-4)  # capped
+    b = DoublingSchedule(base=32, gamma=2.0, step=1, max=128)
+    assert [b.int_value(e) for e in (1, 2, 3, 4)] == [32, 64, 128, 128]
+
+
+def _sd_trainer(fixture_dir, dicts, tmp_path, **kw):
+    cfg = (
+        load_config("original-sd", overrides={"compute_dtype": "float32", "rl_impl": "xla"})
+        .replace(
+            g_layers=(64, 64), f_layers=(64,), lstm_hidden=32, lstm_word_emb=16,
+            dropout=0.0, question_max_len=24,
+        )
+    )
+    cfg = cfg.replace(n_answers=dicts.n_answers)
+    train_ds = ClevrDatasetStateDescription(
+        fixture_dir, "train", dicts, max_objects=cfg.max_objects,
+        question_max_len=cfg.question_max_len,
+    )
+    val_ds = ClevrDatasetStateDescription(
+        fixture_dir, "val", dicts, max_objects=cfg.max_objects,
+        question_max_len=cfg.question_max_len,
+    )
+    defaults = dict(
+        lr=DoublingSchedule(base=1e-3, gamma=1.0, step=0),
+        bs=DoublingSchedule(base=16, gamma=1.0, step=0),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_interval=100,
+        log_fn=lambda *a: None,
+        seed=7,
+    )
+    defaults.update(kw)
+    return Trainer(cfg, dicts.vocab_size, train_ds, val_ds, dicts, **defaults)
+
+
+def test_sd_overfit_loss_decreases(fixture_dir, dicts, tmp_path):
+    """The ONE-model-running milestone: loss collapses on the tiny fixture."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    first = tr.train_epoch(1)
+    for e in range(2, 16):
+        last = tr.train_epoch(e)
+    assert last["train_loss"] < first["train_loss"] * 0.5, (first, last)
+    ev = tr.eval_epoch(15)
+    assert ev["val_acc"] >= 0.0  # eval path runs end to end
+
+
+def test_lr_injection_changes_updates(fixture_dir, dicts, tmp_path):
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr.state = set_learning_rate(tr.state, 0.0)
+    params_before = jax.tree.map(np.asarray, tr.state.params)
+    it = BatchIterator(tr.train_ds, 16, invert=True)
+    batch = jax.tree.map(jnp.asarray, next(iter(it)))
+    tr.state, _ = tr.jit_train(tr.state, batch)
+    # zero LR -> params unchanged
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, np.asarray(b), atol=1e-7),
+        params_before,
+        tr.state.params,
+    )
+
+
+def test_checkpoint_roundtrip_and_resume(fixture_dir, dicts, tmp_path):
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr.train_epoch(1)
+    tr.ckpt.save(jax.tree.map(np.asarray, tr.state), 1)
+    step_after = int(tr.state.step)
+
+    tr2 = _sd_trainer(fixture_dir, dicts, tmp_path)
+    assert tr2.ckpt.latest_epoch() == 1
+    tr2.resume(1)
+    assert int(tr2.state.step) == step_after
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.tree.map(np.asarray, tr.state.params),
+        jax.tree.map(np.asarray, tr2.state.params),
+    )
+    # optimizer moments restored too (full-state resume, beyond the reference)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.tree.map(np.asarray, tr.state.opt_state),
+        jax.tree.map(np.asarray, tr2.state.opt_state),
+    )
+
+
+def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr.train_epoch(1)
+    path = str(tmp_path / "weights.pkl")
+    export_weights(tr.state, path)
+    tr2 = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr2.state = import_weights(tr2.state, path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.tree.map(np.asarray, tr.state.params),
+        jax.tree.map(np.asarray, tr2.state.params),
+    )
+
+
+def test_fp_train_smoke(fixture_dir, dicts, tmp_path):
+    """From-pixels path end-to-end on CPU (tiny conv, one step)."""
+    cfg = (
+        load_config("original-fp", overrides={"compute_dtype": "float32", "rl_impl": "xla"})
+        .replace(
+            image_size=32, g_layers=(32, 32), f_layers=(32,), lstm_hidden=16,
+            lstm_word_emb=8, dropout=0.0, question_max_len=24,
+            n_answers=dicts.n_answers,
+        )
+    )
+    train_ds = ClevrDataset(
+        fixture_dir, "train", dicts, image_size=32, question_max_len=24
+    )
+    tr = Trainer(
+        cfg, dicts.vocab_size, train_ds, train_ds, dicts,
+        lr=DoublingSchedule(base=1e-3, gamma=1.0, step=0),
+        bs=DoublingSchedule(base=8, gamma=1.0, step=0),
+        checkpoint_dir=str(tmp_path / "ckpt_fp"),
+        log_interval=100, log_fn=lambda *a: None,
+    )
+    stats = tr.train_epoch(1)
+    assert np.isfinite(stats["train_loss"])
+    assert tr.state.batch_stats  # BN stats updated on the fp path

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Train a Relation Network on CLEVR (TPU-native).
+
+Reference-parity CLI (SURVEY.md 3.1, reference train.py): config selection,
+LR/batch-size doubling schedules, per-epoch eval + checkpoint, --resume.
+
+Example:
+    python train.py --clevr-dir /data/CLEVR_v1.0 --model original-fp \
+        --epochs 400 --batch-size 640 --lr 1e-4 --lr-max 5e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from rnet.cli import add_common_args
+
+    add_common_args(p)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-gamma", type=float, default=2.0)
+    p.add_argument("--lr-step", type=int, default=20, help="epochs between LR doublings (0: constant)")
+    p.add_argument("--lr-max", type=float, default=5e-4)
+    p.add_argument("--bs-gamma", type=float, default=1.0)
+    p.add_argument("--bs-step", type=int, default=0, help="epochs between batch-size doublings (0: constant)")
+    p.add_argument("--bs-max", type=int, default=None)
+    p.add_argument("--clip-norm", type=float, default=50.0)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--resume", default=None, help="checkpoint path or epoch number")
+    p.add_argument("--checkpoint-dir", default="model")
+    p.add_argument("--test-results-dir", default=None)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--save-every", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from rnet.cli import build_datasets, config_from_args, load_dicts
+    from rnet.train.loop import Trainer
+    from rnet.train.schedules import DoublingSchedule
+
+    dicts = load_dicts(args)
+    cfg = config_from_args(args, dicts)
+    print(f"model: {cfg.name} | vocab {dicts.vocab_size} | answers {dicts.n_answers}")
+    print(f"config: {cfg}")
+    ds = build_datasets(args, cfg, dicts)
+
+    trainer = Trainer(
+        cfg,
+        dicts.vocab_size,
+        ds["train"],
+        ds["val"],
+        dicts,
+        lr=DoublingSchedule(args.lr, args.lr_gamma, args.lr_step, args.lr_max),
+        bs=DoublingSchedule(args.batch_size, args.bs_gamma, args.bs_step, args.bs_max),
+        clip_norm=args.clip_norm,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        invert=args.invert,
+        num_threads=args.num_workers,
+        mesh_spec=args.mesh,
+        checkpoint_dir=args.checkpoint_dir,
+        log_interval=args.log_interval,
+    )
+    if args.resume is not None:
+        resume = int(args.resume) if str(args.resume).isdigit() else args.resume
+        epoch = trainer.resume(resume)
+        print(f"resumed from {args.resume} (epoch {epoch})")
+
+    history = trainer.fit(
+        args.epochs,
+        eval_every=args.eval_every,
+        save_every=args.save_every,
+        results_dir=args.test_results_dir,
+    )
+    if args.test_results_dir:
+        os.makedirs(args.test_results_dir, exist_ok=True)
+        with open(os.path.join(args.test_results_dir, "history.json"), "w") as f:
+            json.dump(history, f, indent=2)
+    if history:
+        last = history[-1]
+        print(
+            f"done: epoch {last['epoch']} train_loss {last['train_loss']:.4f}"
+            + (f" val_acc {last['val_acc']:.4f}" if "val_acc" in last else "")
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
