@@ -70,7 +70,7 @@ def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject
 
     cdt = u_ref.dtype
     u = u_ref[0]  # (TI, H)
-    s = s_ref[0]  # (1, H) block -> (H,)
+    s = s_ref[0, 0]  # (1, 1, H) block -> (H,)
     acc = jnp.zeros((out_ref.shape[-1],), _F32)
     for jt in range(n // TJ):
         vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]  # (TJ, H)
@@ -84,10 +84,10 @@ def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject
             pre = jnp.dot(a, w_ref[l - 1], preferred_element_type=_F32)
             pre = pre + b_ref[l - 1][None, :].astype(_F32)
             if l == inject:
-                pre = pre + qa_ref[0][None, :].astype(_F32)
+                pre = pre + qa_ref[0, 0][None, :].astype(_F32)
             a = jax.nn.relu(pre).astype(cdt)
         acc = acc + jnp.sum(a.astype(_F32), axis=0)
-    out_ref[0] += acc
+    out_ref[0, 0] += acc
 
 
 def _bwd_kernel(
@@ -112,8 +112,8 @@ def _bwd_kernel(
     cdt = u_ref.dtype
     H = u_ref.shape[-1]
     u = u_ref[0]
-    s = s_ref[0]
-    g = g_ref[0].astype(_F32)  # (H,) upstream grad of the pooled sum
+    s = s_ref[0, 0]
+    g = g_ref[0, 0].astype(_F32)  # (H,) upstream grad of the pooled sum
     du_acc = jnp.zeros((TI, H), _F32)
     for jt in range(n // TJ):
         vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]
@@ -128,12 +128,14 @@ def _bwd_kernel(
             pre = jnp.dot(acts[-1], w_ref[l - 1], preferred_element_type=_F32)
             pre = pre + b_ref[l - 1][None, :].astype(_F32)
             if l == inject:
-                pre = pre + qa_ref[0][None, :].astype(_F32)
+                pre = pre + qa_ref[0, 0][None, :].astype(_F32)
             acts.append(jax.nn.relu(pre).astype(cdt))
         # --- backward through the chain; d(a_{L-1}) = g for every pair ---
         d = jnp.broadcast_to(g[None, :], (TI * TJ, H))
         for l in range(L - 1, 0, -1):
-            dpre = jnp.where(acts[l] > 0, d, 0.0).astype(cdt)
+            # relu' = (acts > 0); acts = relu(pre) >= 0, so sign(acts) is the
+            # mask without an i1 vector (Mosaic relayout of bool tiles fails).
+            dpre = (d * jnp.sign(acts[l].astype(_F32))).astype(cdt)
             dw_ref[l - 1] += jax.lax.dot_general(
                 acts[l - 1], dpre,
                 (((0,), (0,)), ((), ())),
@@ -141,14 +143,14 @@ def _bwd_kernel(
             )
             db_ref[l - 1] += jnp.sum(dpre.astype(_F32), axis=0)
             if l == inject:
-                dqa_ref[0] += jnp.sum(dpre.astype(_F32), axis=0)
+                dqa_ref[0, 0] += jnp.sum(dpre.astype(_F32), axis=0)
             d = jax.lax.dot_general(
                 dpre, w_ref[l - 1],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32,
             )
-        dpre0 = jnp.where(acts[0] > 0, d, 0.0)  # (TI*TJ, H) fp32
-        ds_ref[0] += jnp.sum(dpre0, axis=0)
+        dpre0 = d * jnp.sign(acts[0].astype(_F32))  # (TI*TJ, H) fp32
+        ds_ref[0, 0] += jnp.sum(dpre0, axis=0)
         t = dpre0.reshape(TI, TJ, H)
         du_acc += jnp.sum(t, axis=1)
         dv_ref[0, jt * TJ : (jt + 1) * TJ, :] += jnp.sum(t, axis=0)
@@ -183,24 +185,25 @@ def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
     TI, TJ = _tiles(n)
     kern = functools.partial(_fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, n=n)
     flops = 2 * B * n * n * (L - 1) * H * H + 2 * B * n * n * H
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(B, n // TI),
         in_specs=[
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H), _F32),
+        out_specs=pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, H), _F32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=u.size * 2 * u.dtype.itemsize, transcendentals=0
         ),
         interpret=interpret,
-    )(u, v, s, qa, ws, bs)
+    )(u, v, s[:, None, :], qa[:, None, :], ws, bs)
+    return out[:, 0, :]
 
 
 def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
@@ -211,35 +214,36 @@ def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
     out_shape = (
         jax.ShapeDtypeStruct((B, n, H), _F32),  # du
         jax.ShapeDtypeStruct((B, n, H), _F32),  # dv
-        jax.ShapeDtypeStruct((B, H), _F32),  # ds
-        jax.ShapeDtypeStruct((B, H), _F32),  # dqa
+        jax.ShapeDtypeStruct((B, 1, H), _F32),  # ds
+        jax.ShapeDtypeStruct((B, 1, H), _F32),  # dqa
         jax.ShapeDtypeStruct((L - 1, H, H), _F32),  # dws
         jax.ShapeDtypeStruct((L - 1, H), _F32),  # dbs
     )
     out_specs = (
         pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    du, dv, ds, dqa, dws, dbs = pl.pallas_call(
         kern,
         grid=(B, n // TI),
         in_specs=[
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(u, v, s, qa, ws, bs, g)
+    )(u, v, s[:, None, :], qa[:, None, :], ws, bs, g[:, None, :])
+    return du, dv, ds[:, 0, :], dqa[:, 0, :], dws, dbs
 
 
 @functools.lru_cache(maxsize=None)

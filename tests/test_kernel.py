@@ -1,0 +1,124 @@
+"""Fused Pallas pairwise kernel vs the jnp reference (SURVEY.md section 4.3).
+
+Runs in interpreter mode on CPU; the same kernel compiles on TPU (covered by
+bench.py and the TPU smoke script). Checks forward AND the custom VJP across
+grid sizes (8x8 -> n=64, 16x16 -> n=256) and injection positions.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnet.kernels.pairwise import (
+    _tiles,
+    fused_pairwise_g,
+    pairwise_core,
+    pairwise_core_reference,
+)
+
+
+def _inputs(B, n, H, L, inject, key=0):
+    ks = jax.random.split(jax.random.key(key), 6)
+    u = jax.random.normal(ks[0], (B, n, H)) * 0.3
+    v = jax.random.normal(ks[1], (B, n, H)) * 0.3
+    s = jax.random.normal(ks[2], (B, H)) * 0.1
+    qa = jax.random.normal(ks[3], (B, H)) * 0.1
+    ws = jax.random.normal(ks[4], (L - 1, H, H)) * (1.0 / np.sqrt(H))
+    bs = jax.random.normal(ks[5], (L - 1, H)) * 0.05
+    return u, v, s, qa, ws, bs
+
+
+def test_tile_selection():
+    assert _tiles(64) == (16, 64)
+    ti, tj = _tiles(256)
+    assert 256 % ti == 0 and tj == 128
+    assert _tiles(12)[0] == 0 or 12 % _tiles(12)[0] == 0
+
+
+@pytest.mark.parametrize("n", [16, 64])
+@pytest.mark.parametrize("inject", [0, 2])
+def test_kernel_forward_matches_reference(n, inject):
+    B, H, L = 2, 128, 4
+    args = _inputs(B, n, H, L, inject)
+    ref = pairwise_core_reference(*args, inject=inject)
+    out = pairwise_core(*args, inject=inject, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-3)
+
+
+def test_kernel_forward_256_objects():
+    """16x16 grid (65536 pairs) — the BASELINE stretch config."""
+    B, H, L, inject = 1, 128, 3, 0
+    args = _inputs(B, 256, H, L, inject)
+    ref = pairwise_core_reference(*args, inject=inject)
+    out = pairwise_core(*args, inject=inject, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=5e-3)
+
+
+@pytest.mark.parametrize("inject", [0, 2])
+def test_kernel_vjp_matches_reference(inject):
+    B, n, H, L = 2, 16, 128, 3
+    args = _inputs(B, n, H, L, inject)
+    r = jax.random.normal(jax.random.key(9), (B, H))
+
+    def loss_ref(*a):
+        return (pairwise_core_reference(*a, inject=inject) * r).sum()
+
+    def loss_ker(*a):
+        return (pairwise_core(*a, inject=inject, interpret=True) * r).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_ker = jax.grad(loss_ker, argnums=tuple(range(6)))(*args)
+    names = ["du", "dv", "ds", "dqa", "dws", "dbs"]
+    for name, a, b in zip(names, g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-3, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("inject", [0, 1])
+def test_fused_g_end_to_end_grads(inject):
+    """fused_pairwise_g (incl. thin projections) vs naive concat math."""
+    B, n, c, h, H, L = 2, 16, 10, 12, 128, 3
+    from rnet.models.relational import g_input_dims
+
+    dims = g_input_dims(c, h, (H,) * L, inject)
+    ks = jax.random.split(jax.random.key(3), 2 * L + 2)
+    gw = [
+        jax.random.normal(ks[l], (dims[l], H)) / np.sqrt(dims[l])
+        for l in range(L)
+    ]
+    gb = [jax.random.normal(ks[L + l], (H,)) * 0.05 for l in range(L)]
+    x = jax.random.normal(ks[-2], (B, n, c))
+    q = jax.random.normal(ks[-1], (B, h))
+    r = jax.random.normal(jax.random.key(8), (B, H))
+
+    def naive(x, q, gw, gb):
+        xi = jnp.broadcast_to(x[:, :, None, :], (B, n, n, c))
+        xj = jnp.broadcast_to(x[:, None, :, :], (B, n, n, c))
+        a = jnp.concatenate([xi, xj], -1).reshape(B, n * n, 2 * c)
+        for l in range(L):
+            if l == inject:
+                qb = jnp.broadcast_to(q[:, None, :], (B, n * n, h))
+                a = jnp.concatenate([a, qb], -1)
+            a = jax.nn.relu(a @ gw[l] + gb[l])
+        return (a.sum(1) * r).sum()
+
+    def fused(x, q, gw, gb):
+        out = fused_pairwise_g(
+            x, q, gw, gb, inject=inject, dtype=jnp.float32, interpret=True
+        )
+        return (out * r).sum()
+
+    val_n, grads_n = jax.value_and_grad(naive, argnums=(0, 1, 2, 3))(x, q, gw, gb)
+    val_f, grads_f = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(x, q, gw, gb)
+    np.testing.assert_allclose(float(val_f), float(val_n), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3
+        ),
+        grads_f,
+        grads_n,
+    )
