@@ -43,10 +43,15 @@ _F32 = jnp.float32
 
 
 def pairwise_core_reference(u, v, s, qa, ws, bs, inject: int):
-    """out[b] = sum_{i,j} g-chain(relu(u[b,i] + v[b,j] + s[b]))."""
-    B, n, H = u.shape
+    """out[b] = sum_{i,j} g-chain(relu(u[b,i] + v[b,j] + s[b])).
+
+    Rectangular: u may hold a subset of the i-objects (ni rows) while v holds
+    all nj — the pair-axis-sharded case.
+    """
+    B, ni, H = u.shape
+    nj = v.shape[1]
     a = jax.nn.relu(u[:, :, None, :] + v[:, None, :, :] + s[:, None, None, :])
-    a = a.reshape(B, n * n, H)
+    a = a.reshape(B, ni * nj, H)
     L = ws.shape[0] + 1
     for l in range(1, L):
         pre = a @ ws[l - 1] + bs[l - 1][None, None, :]
@@ -61,7 +66,7 @@ def pairwise_core_reference(u, v, s, qa, ws, bs, inject: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject, TI, TJ, n):
+def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject, TI, TJ, nj):
     it = pl.program_id(1)
 
     @pl.when(it == 0)
@@ -72,7 +77,7 @@ def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject
     u = u_ref[0]  # (TI, H)
     s = s_ref[0, 0]  # (1, 1, H) block -> (H,)
     acc = jnp.zeros((out_ref.shape[-1],), _F32)
-    for jt in range(n // TJ):
+    for jt in range(nj // TJ):
         vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]  # (TJ, H)
         pre0 = (
             u[:, None, :].astype(_F32)
@@ -93,7 +98,7 @@ def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject
 def _bwd_kernel(
     u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, g_ref,
     du_ref, dv_ref, ds_ref, dqa_ref, dw_ref, db_ref,
-    *, L, inject, TI, TJ, n,
+    *, L, inject, TI, TJ, nj,
 ):
     b_idx = pl.program_id(0)
     it = pl.program_id(1)
@@ -115,7 +120,7 @@ def _bwd_kernel(
     s = s_ref[0, 0]
     g = g_ref[0, 0].astype(_F32)  # (H,) upstream grad of the pooled sum
     du_acc = jnp.zeros((TI, H), _F32)
-    for jt in range(n // TJ):
+    for jt in range(nj // TJ):
         vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]
         # --- recompute forward activations for this tile ---
         pre0 = (
@@ -162,35 +167,37 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _tiles(n: int) -> Tuple[int, int]:
+def _tiles(ni: int, nj: int | None = None) -> Tuple[int, int]:
     """(TI, TJ): i-tile and j-tile so TI*TJ rows feed the MXU well."""
-    ti = 16 if n % 16 == 0 else (8 if n % 8 == 0 else 0)
-    tj = n if n <= 128 else 128
-    if tj and n % tj:
+    nj = ni if nj is None else nj
+    ti = 16 if ni % 16 == 0 else (8 if ni % 8 == 0 else 0)
+    tj = nj if nj <= 128 else 128
+    if tj and nj % tj:
         tj = 0
     # keep tiles >= 512 rows where possible
-    if ti and tj and ti * tj < 512 and n % (2 * ti) == 0:
+    if ti and tj and ti * tj < 512 and ni % (2 * ti) == 0:
         ti *= 2
     return ti, tj
 
 
-def _supported(n: int, H: int, L: int) -> bool:
-    ti, tj = _tiles(n)
+def _supported(ni: int, nj: int, H: int, L: int) -> bool:
+    ti, tj = _tiles(ni, nj)
     return bool(ti and tj) and H % 128 == 0 and L >= 2
 
 
 def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
-    B, n, H = u.shape
+    B, ni, H = u.shape
+    nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(n)
-    kern = functools.partial(_fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, n=n)
-    flops = 2 * B * n * n * (L - 1) * H * H + 2 * B * n * n * H
+    TI, TJ = _tiles(ni, nj)
+    kern = functools.partial(_fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj)
+    flops = 2 * B * ni * nj * (L - 1) * H * H + 2 * B * ni * nj * H
     out = pl.pallas_call(
         kern,
-        grid=(B, n // TI),
+        grid=(B, ni // TI),
         in_specs=[
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -207,13 +214,14 @@ def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
 
 
 def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
-    B, n, H = u.shape
+    B, ni, H = u.shape
+    nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(n)
-    kern = functools.partial(_bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, n=n)
+    TI, TJ = _tiles(ni, nj)
+    kern = functools.partial(_bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj)
     out_shape = (
-        jax.ShapeDtypeStruct((B, n, H), _F32),  # du
-        jax.ShapeDtypeStruct((B, n, H), _F32),  # dv
+        jax.ShapeDtypeStruct((B, ni, H), _F32),  # du
+        jax.ShapeDtypeStruct((B, nj, H), _F32),  # dv
         jax.ShapeDtypeStruct((B, 1, H), _F32),  # ds
         jax.ShapeDtypeStruct((B, 1, H), _F32),  # dqa
         jax.ShapeDtypeStruct((L - 1, H, H), _F32),  # dws
@@ -221,7 +229,7 @@ def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
     )
     out_specs = (
         pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -229,10 +237,10 @@ def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
     )
     du, dv, ds, dqa, dws, dbs = pl.pallas_call(
         kern,
-        grid=(B, n // TI),
+        grid=(B, ni // TI),
         in_specs=[
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -275,12 +283,60 @@ def _make_core(inject: int, interpret: bool):
 
 def pairwise_core(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = False):
     """Dispatch: fused Pallas on TPU (or interpret mode), jnp elsewhere."""
-    B, n, H = u.shape
+    B, ni, H = u.shape
+    nj = v.shape[1]
     L = ws.shape[0] + 1
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or interpret) and _supported(n, H, L):
+    if (on_tpu or interpret) and _supported(ni, nj, H, L):
         return _make_core(inject, interpret)(u, v, s, qa, ws, bs)
     return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
+
+
+def pairwise_core_sharded(
+    u, v, s, qa, ws, bs, *, inject: int, mesh, interpret: bool = False
+):
+    """shard_map island: run the fused kernel per shard under a mesh.
+
+    Pallas calls are opaque to GSPMD, so under a multi-device mesh the kernel
+    is mapped explicitly: the batch splits over 'data'; if the mesh has a
+    'pairs' axis, the i-object rows of u split over it (each shard computes
+    its ni/k x nj pair block) and the pooled sums psum over 'pairs' — the
+    ring-reduce rides ICI (SURVEY.md section 5 "long-context" analogue).
+    Autodiff of shard_map handles the collective transposes (dv contributions
+    psum back; replicated ws/bs cotangents sum over shards).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None or mesh.devices.size == 1:
+        return pairwise_core(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
+    has_pairs = "pairs" in mesh.axis_names and mesh.shape["pairs"] > 1
+    data_axes = tuple(a for a in mesh.axis_names if a != "pairs")
+
+    def f(u_l, v_l, s_l, qa_l, ws_l, bs_l):
+        out = pairwise_core(
+            u_l, v_l, s_l, qa_l, ws_l, bs_l, inject=inject, interpret=interpret
+        )
+        if has_pairs:
+            out = jax.lax.psum(out, "pairs")
+        return out
+
+    u_spec = P(data_axes, "pairs" if has_pairs else None, None)
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(
+            u_spec,
+            P(data_axes, None, None),
+            P(data_axes, None),
+            P(data_axes, None),
+            P(),
+            P(),
+        ),
+        out_specs=P(data_axes, None),
+        # pallas_call out_shapes carry no vma info; replication is enforced
+        # structurally (psum over 'pairs' above).
+        check_vma=False,
+    )(u, v, s, qa, ws, bs)
 
 
 # ---------------------------------------------------------------------------
@@ -297,11 +353,13 @@ def fused_pairwise_g(
     inject: int,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Pooled g_theta over all object pairs; (B, g_out) fp32.
 
     The thin projections are plain JAX (autodiff handles their grads); the
-    n^2-heavy chain runs in the fused kernel via pairwise_core.
+    n^2-heavy chain runs in the fused kernel via pairwise_core (under a
+    multi-device mesh: pairwise_core_sharded).
     """
     B, n, c = x.shape
     H = gw[0].shape[-1]
@@ -327,4 +385,8 @@ def fused_pairwise_g(
             bs_list.append(gb[l].astype(dt))
         ws = jnp.stack(ws_list)
         bs = jnp.stack(bs_list)
+    if mesh is not None:
+        return pairwise_core_sharded(
+            u, v, s, qa, ws, bs, inject=inject, mesh=mesh, interpret=interpret
+        )
     return pairwise_core(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)

@@ -162,6 +162,7 @@ class RelationalLayer(nn.Module):
             pooled = self._pool(self._g_xla(x, q), pair_do)
         elif impl == "pallas":
             from ..kernels.pairwise import fused_pairwise_g
+            from ..parallel.mesh import active_mesh
 
             pooled = fused_pairwise_g(
                 x,
@@ -170,6 +171,7 @@ class RelationalLayer(nn.Module):
                 list(self.gb),
                 inject=self.question_injection_position,
                 dtype=self.dtype,
+                mesh=active_mesh(),
             )
         else:
             raise ValueError(f"unknown relational impl {impl!r}")

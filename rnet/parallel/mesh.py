@@ -79,21 +79,31 @@ def replicate_state(tree, mesh: Mesh):
 
 @contextlib.contextmanager
 def pair_sharding(mesh: Mesh):
-    """Within this context, relational (B, n^2, H) activations are constrained
-    to P('data', 'pairs', None) so the pair axis splits across the 'pairs'
-    mesh axis."""
+    """Declare the active mesh for the relational core while tracing.
+
+    Effects inside the context:
+      * xla impl: (B, n^2, H) activations get a with_sharding_constraint of
+        P('data', 'pairs', None) so GSPMD splits the pair axis.
+      * pallas impl: the kernel runs as a shard_map island over the mesh
+        (pairwise_core_sharded) — batch over 'data', i-objects over 'pairs'.
+    """
     prev = getattr(_state, "mesh", None)
-    _state.mesh = mesh if "pairs" in mesh.axis_names else None
+    _state.mesh = mesh if mesh.devices.size > 1 else None
     try:
         yield
     finally:
         _state.mesh = prev
 
 
+def active_mesh() -> Mesh | None:
+    """Mesh declared by the enclosing pair_sharding context (None = 1 device)."""
+    return getattr(_state, "mesh", None)
+
+
 def constrain_pairs(a):
     """Apply the pair-axis sharding constraint if a pair mesh is active."""
-    mesh = getattr(_state, "mesh", None)
-    if mesh is None:
+    mesh = active_mesh()
+    if mesh is None or "pairs" not in mesh.axis_names:
         return a
     return jax.lax.with_sharding_constraint(
         a, NamedSharding(mesh, P("data", "pairs", None))

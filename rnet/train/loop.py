@@ -75,6 +75,9 @@ class Trainer:
         checkpoint_dir: str = "model",
         log_interval: int = 10,
         log_fn=print,
+        tb_dir: Optional[str] = None,
+        profile_dir: Optional[str] = None,
+        profile_epoch: int = 1,
     ):
         self.cfg = cfg
         self.dicts = dicts
@@ -114,6 +117,12 @@ class Trainer:
         )
         self.epoch = 0
         self.history: list[Dict[str, float]] = []
+
+        from ..utils.profiling import ScalarWriter
+
+        self.scalars = ScalarWriter(tb_dir)
+        self.profile_dir = profile_dir
+        self.profile_epoch = profile_epoch
 
     # ---- resume ----
 
@@ -155,7 +164,10 @@ class Trainer:
         losses, accs = [], []
         t0 = time.time()
         n_seen = 0
-        with self.mesh, pmesh.pair_sharding(self.mesh):
+        from ..utils.profiling import profile_trace
+
+        prof_dir = self.profile_dir if epoch == self.profile_epoch else None
+        with self.mesh, pmesh.pair_sharding(self.mesh), profile_trace(prof_dir):
             for i, batch in enumerate(
                 prefetch_to_device(iter(it), pmesh.batch_sharding(self.mesh))
             ):
@@ -169,6 +181,12 @@ class Trainer:
                     self.log(
                         f"Train Epoch: {epoch} [{i + 1}/{n_batches}] "
                         f"Loss: {loss:.4f} Acc: {acc:.3f} LR: {lr:.2e} BS: {bs}"
+                    )
+                    self.scalars.write(
+                        int(self.state.step),
+                        {"train/loss": loss, "train/accuracy": acc,
+                         "train/grad_norm": float(metrics["grad_norm"]),
+                         "train/lr": lr},
                     )
         dt = time.time() - t0
         return {

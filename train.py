@@ -37,6 +37,13 @@ def parse_args(argv=None):
     p.add_argument("--test-results-dir", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--save-every", type=int, default=1)
+    p.add_argument("--tb-dir", default=None, help="TensorBoard/CSV scalar log dir")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of one epoch here (see --profile-epoch)",
+    )
+    p.add_argument("--profile-epoch", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -68,6 +75,9 @@ def main(argv=None):
         mesh_spec=args.mesh,
         checkpoint_dir=args.checkpoint_dir,
         log_interval=args.log_interval,
+        tb_dir=args.tb_dir,
+        profile_dir=args.profile_dir,
+        profile_epoch=args.profile_epoch,
     )
     if args.resume is not None:
         resume = int(args.resume) if str(args.resume).isdigit() else args.resume
