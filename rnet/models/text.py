@@ -45,10 +45,15 @@ class QuestionEmbedModel(nn.Module):
         wh = self.param("wh", init, (H, 4 * H))
         b = self.param("b", init, (4 * H,))
 
-        def step(carry, xt_mt):
+        # Hoist the input projection out of the recurrence: one (B*T, E)@(E,4H)
+        # MXU matmul instead of T tiny ones inside the scan. Only the h @ Wh
+        # recurrence stays sequential.
+        xg = (x.reshape(B * T, -1) @ wx + b).reshape(B, T, 4 * H)
+
+        def step(carry, xg_mt):
             h, c = carry
-            xt, mt = xt_mt  # (B, E), (B, 1)
-            gates = xt @ wx + h @ wh + b  # (B, 4H)
+            xgt, mt = xg_mt  # (B, 4H), (B, 1)
+            gates = xgt + h @ wh
             i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order
             c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -60,6 +65,7 @@ class QuestionEmbedModel(nn.Module):
         (h, _), _ = jax.lax.scan(
             step,
             (h0, h0),
-            (x.transpose(1, 0, 2), mask.T[..., None]),
+            (xg.transpose(1, 0, 2), mask.T[..., None]),
+            unroll=8,
         )
         return h
