@@ -63,6 +63,20 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         default=None,
         help='device mesh spec, e.g. "data:8" or "data:4,pairs:2" (default: all devices on data)',
     )
+    p.add_argument(
+        "--data-pipeline",
+        choices=["pil", "cached"],
+        default="pil",
+        help="pil: per-item decode (reference-style); cached: one-time decoded "
+        "uint8 memmap + host crop jitter + on-device rotation",
+    )
+    p.add_argument(
+        "--device-augment",
+        dest="device_augment",
+        action="store_true",
+        default=None,
+        help="run train-time rotation on device (recommended with --data-pipeline cached)",
+    )
 
 
 def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConfig:
@@ -74,8 +88,11 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "pair_dropout",
             "compute_dtype",
             "rl_impl",
+            "device_augment",
         )
     }
+    if getattr(args, "data_pipeline", "pil") == "cached" and overrides.get("device_augment") is None:
+        overrides["device_augment"] = True
     cfg = load_config(args.model, args.config, overrides)
     return cfg.replace(n_answers=dicts.n_answers)
 
@@ -93,6 +110,17 @@ def build_datasets(
                 max_objects=cfg.max_objects,
                 object_dim=cfg.object_dim,
                 question_max_len=cfg.question_max_len,
+            )
+        elif getattr(args, "data_pipeline", "pil") == "cached":
+            from .data.cache import CachedClevrDataset
+
+            out[split] = CachedClevrDataset(
+                args.clevr_dir,
+                split,
+                dicts,
+                image_size=cfg.image_size,
+                question_max_len=cfg.question_max_len,
+                train_transform=(split == "train"),
             )
         else:
             out[split] = ClevrDataset(

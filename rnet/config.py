@@ -53,6 +53,9 @@ class ModelConfig:
 
     # --- runtime ---
     n_answers: int = 28
+    # from-pixels train-time rotation on device (see rnet/data/augment.py);
+    # pairs with the decoded-image cache pipeline.
+    device_augment: bool = False
     # 'auto' | 'naive' | 'xla' | 'pallas' : implementation of the pairwise core.
     rl_impl: str = "auto"
     # compute dtype for the hot path ('bfloat16' or 'float32'); params stay fp32.

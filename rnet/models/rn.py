@@ -69,6 +69,12 @@ class RN(nn.Module):
         x = inputs
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.dtype(cfg.compute_dtype)) / 255.0
+        if train and cfg.device_augment:
+            from ..data.augment import random_rotate_batch
+
+            x = random_rotate_batch(
+                x.astype(jnp.float32), self.make_rng("dropout")
+            ).astype(jnp.dtype(cfg.compute_dtype))
         feats = self.conv(x, train=train)  # (B, g, g, C)
         B, g, _, C = feats.shape
         objs = feats.reshape(B, g * g, C)

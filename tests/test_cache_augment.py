@@ -1,0 +1,95 @@
+"""Decoded-image cache pipeline + on-device augmentation tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from rnet.data.augment import random_rotate_batch, rotate_bilinear
+from rnet.data.cache import CachedClevrDataset, build_image_cache
+from rnet.data.clevr import ClevrDataset
+
+
+def test_cache_build_and_eval_equivalence(fixture_dir, dicts):
+    path = build_image_cache(fixture_dir, "val", image_size=128, pad=8)
+    assert os.path.exists(path)
+    # cached eval item == reference-style eval transform (plain resize)
+    ref_ds = ClevrDataset(fixture_dir, "val", dicts, image_size=128, train_transform=False)
+    cds = CachedClevrDataset(fixture_dir, "val", dicts, image_size=128, train_transform=False)
+    a = ref_ds[0]["image"]
+    b = cds[0]["image"]
+    assert a.shape == b.shape == (128, 128, 3)
+    np.testing.assert_array_equal(a, b)
+    assert int(cds[0]["answer"]) == int(ref_ds[0]["answer"])
+
+
+def test_cache_train_crop_jitter(fixture_dir, dicts):
+    import random
+
+    cds = CachedClevrDataset(fixture_dir, "train", dicts, image_size=128, train_transform=True)
+    a = cds.__getitem__(0, rng=random.Random(1))["image"]
+    b = cds.__getitem__(0, rng=random.Random(2))["image"]
+    c = cds.__getitem__(0, rng=random.Random(1))["image"]
+    assert a.shape == (128, 128, 3)
+    assert not (a == b).all()  # different jitter
+    np.testing.assert_array_equal(a, c)  # deterministic per rng
+
+
+def test_rotate_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3), jnp.float32)
+    out = rotate_bilinear(img, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_rotate_matches_pil_small_angle():
+    rs = np.random.RandomState(1)
+    img = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    deg = 2.5
+    ref = np.asarray(
+        Image.fromarray(img).rotate(deg, resample=Image.BILINEAR)
+    ).astype(np.float32) / 255.0
+    out = np.asarray(
+        rotate_bilinear(jnp.asarray(img, jnp.float32) / 255.0, jnp.float32(np.deg2rad(deg)))
+    )
+    # compare interior (border handling differs: PIL fills with 0)
+    m = 4
+    diff = np.abs(out[m:-m, m:-m] - ref[m:-m, m:-m])
+    assert float(diff.mean()) < 0.02, float(diff.mean())
+
+
+def test_random_rotate_batch_shapes_and_determinism():
+    imgs = jnp.asarray(np.random.RandomState(2).rand(4, 32, 32, 3), jnp.float32)
+    a = random_rotate_batch(imgs, jax.random.key(0))
+    b = random_rotate_batch(imgs, jax.random.key(0))
+    c = random_rotate_batch(imgs, jax.random.key(1))
+    assert a.shape == imgs.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_device_augment_in_rn(fixture_dir, dicts):
+    from rnet.config import load_config
+    from rnet.models import RN
+
+    cfg = load_config(
+        "original-fp", overrides={"compute_dtype": "float32", "rl_impl": "xla"}
+    ).replace(
+        image_size=32, g_layers=(32, 32), f_layers=(16,), lstm_hidden=16,
+        lstm_word_emb=8, device_augment=True, dropout=0.0,
+    )
+    m = RN(cfg=cfg, vocab_size=40)
+    img = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    qst = jnp.ones((2, 12), jnp.int32)
+    params = m.init(jax.random.key(0), img, qst, train=False)
+    # eval: no augmentation, no rng needed
+    out_eval = m.apply(params, img, qst, train=False)
+    assert out_eval.shape == (2, cfg.n_answers)
+    # train: augmentation consumes the dropout rng (BN stats become mutable)
+    out_tr, _ = m.apply(
+        params, img, qst, train=True,
+        rngs={"dropout": jax.random.key(3)},
+        mutable=["batch_stats"],
+    )
+    assert out_tr.shape == (2, cfg.n_answers)
