@@ -46,19 +46,26 @@ class BatchIterator:
         drop_last: bool = True,
         invert: bool = True,
         num_threads: int = 8,
+        shard: tuple[int, int] = (0, 1),  # (process rank, world): multi-host
     ):
         self.ds = dataset
-        self.bs = batch_size
+        self.bs = batch_size  # per-process batch size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = epoch
         self.drop_last = drop_last
         self.invert = invert
         self.num_threads = num_threads
+        self.shard = shard
 
     def __len__(self) -> int:
+        # identical batch count on every process (multi-host lockstep):
+        # drop_last floors on the smallest local shard, else ceils on the
+        # largest; short/missing tails are padded in __iter__.
+        _, world = self.shard
         n = len(self.ds)
-        return n // self.bs if self.drop_last else -(-n // self.bs)
+        n_min, n_max = n // world, -(-n // world)
+        return n_min // self.bs if self.drop_last else -(-n_max // self.bs)
 
     def _get(self, i: int) -> Dict[str, np.ndarray]:
         # Deterministic per-(seed, epoch, item) augmentation RNG.
@@ -69,7 +76,12 @@ class BatchIterator:
         n = len(self.ds)
         order = list(range(n))
         if self.shuffle:
+            # identical global shuffle on every process, then strided shard —
+            # each sample visits exactly one host per epoch.
             random.Random((self.seed, self.epoch).__hash__()).shuffle(order)
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
         nb = len(self)
         with ThreadPoolExecutor(self.num_threads) as pool:
             for b in range(nb):

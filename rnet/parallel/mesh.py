@@ -28,6 +28,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _state = threading.local()
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up over DCN (SURVEY.md 2.8: the reference is strictly
+    single-process DataParallel; multi-slice here is jax.distributed over DCN
+    with ICI collectives inside each slice).
+
+    With no arguments, jax.distributed.initialize() reads the standard env
+    (JAX_COORDINATOR_ADDRESS / cloud TPU metadata). No-op when already
+    initialized or single-process.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / no coordinator configured
+
+
+def process_shard(n: int) -> slice:
+    """This host's contiguous shard of a length-n global batch axis."""
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
+    per = n // world
+    return slice(rank * per, (rank + 1) * per)
+
+
 def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
     """Build a mesh from a spec like "data:4" or "data:4,pairs:2".
 
@@ -61,11 +97,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    s = batch_sharding(mesh)
+    """Place a host batch as a global array sharded over 'data'.
+
+    Single-process: a plain device_put split. Multi-host: each process holds
+    its local slice of the global batch (the pipeline already shards the
+    sample order per process) and the global array is assembled without any
+    cross-host transfer.
+    """
+    multihost = jax.process_count() > 1
 
     def _put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     return jax.tree.map(_put, batch)
 

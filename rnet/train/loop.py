@@ -150,15 +150,17 @@ class Trainer:
         bs = self.bs_sched.int_value(epoch)
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
         self.state = set_learning_rate(self.state, lr)
+        rank, world = jax.process_index(), jax.process_count()
         it = BatchIterator(
             self.train_ds,
-            bs,
+            bs // world,  # per-process slice of the global batch
             shuffle=True,
             seed=self.seed,
             epoch=epoch,
             drop_last=True,
             invert=self.invert,
             num_threads=self.num_threads,
+            shard=(rank, world),
         )
         n_batches = len(it)
         losses, accs = [], []
@@ -203,23 +205,29 @@ class Trainer:
         bs = batch_size or self.bs_sched.int_value(max(epoch, 1))
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
         acc = EvalAccumulator(self.dicts)
+        rank, world = jax.process_index(), jax.process_count()
         it = BatchIterator(
             self.val_ds,
-            bs,
+            bs // world,
             shuffle=False,
             drop_last=False,
             invert=self.invert,
             num_threads=self.num_threads,
+            shard=(rank, world),
         )
         t0 = time.time()
         n = 0
         with self.mesh, pmesh.pair_sharding(self.mesh):
             for batch in prefetch_to_device(iter(it), pmesh.batch_sharding(self.mesh)):
                 out = self.jit_eval(self.state, batch)
+                if world > 1:  # gather globally-sharded results on every host
+                    from jax.experimental import multihost_utils
+
+                    out = multihost_utils.process_allgather(out)
                 out = jax.tree.map(np.asarray, out)
                 acc.update(
                     out["pred"],
-                    np.asarray(batch["answer"]),
+                    out["label"],
                     out["valid"],
                     out["nll_sum"],
                 )

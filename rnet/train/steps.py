@@ -148,6 +148,7 @@ def eval_step(
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     return {
         "pred": pred,
+        "label": labels,
         "correct": correct,
         "valid": valid,
         "nll_sum": (nll * valid).sum(),

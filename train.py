@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--test-results-dir", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--save-every", type=int, default=1)
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed (multi-host DCN training; "
+        "coordinator from standard env vars)",
+    )
     p.add_argument("--tb-dir", default=None, help="TensorBoard/CSV scalar log dir")
     p.add_argument(
         "--profile-dir",
@@ -49,6 +55,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        from rnet.parallel.mesh import distributed_init
+
+        distributed_init()
     from rnet.cli import build_datasets, config_from_args, load_dicts
     from rnet.train.loop import Trainer
     from rnet.train.schedules import DoublingSchedule
