@@ -66,7 +66,25 @@ def pairwise_core_reference(u, v, s, qa, ws, bs, inject: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject, TI, TJ, nj):
+def _pair_mask(seed_ref, b_idx, it, jt, rows: int, keep: float):
+    """Per-pair keep mask in {0,1}^(rows,1) from the on-chip PRNG.
+
+    Seeded by (step seed, grid coords, j-tile), so forward and backward
+    regenerate the identical mask. Built with sign() arithmetic — no i1
+    vectors (Mosaic bool-relayout limitation).
+    """
+    pltpu.prng_seed(seed_ref[0, 0] + (b_idx * 16384 + it) * 64 + jt)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, 1)), jnp.int32)
+    bits_f = bits.astype(_F32)  # uniform over [-2^31, 2^31)
+    thresh = (keep - 0.5) * 4294967296.0
+    return jnp.clip(jnp.sign(thresh - bits_f), 0.0, 1.0)
+
+
+def _fwd_kernel(
+    seed_ref, u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref,
+    *, L, inject, TI, TJ, nj, keep,
+):
+    b_idx = pl.program_id(0)
     it = pl.program_id(1)
 
     @pl.when(it == 0)
@@ -91,14 +109,18 @@ def _fwd_kernel(u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, out_ref, *, L, inject
             if l == inject:
                 pre = pre + qa_ref[0, 0][None, :].astype(_F32)
             a = jax.nn.relu(pre).astype(cdt)
-        acc = acc + jnp.sum(a.astype(_F32), axis=0)
+        a32 = a.astype(_F32)
+        if keep < 1.0:  # inverted pair dropout (BASELINE config #3)
+            mask = _pair_mask(seed_ref, b_idx, it, jt, TI * TJ, keep)
+            a32 = a32 * (mask * (1.0 / keep))
+        acc = acc + jnp.sum(a32, axis=0)
     out_ref[0, 0] += acc
 
 
 def _bwd_kernel(
-    u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, g_ref,
+    seed_ref, u_ref, v_ref, s_ref, qa_ref, w_ref, b_ref, g_ref,
     du_ref, dv_ref, ds_ref, dqa_ref, dw_ref, db_ref,
-    *, L, inject, TI, TJ, nj,
+    *, L, inject, TI, TJ, nj, keep,
 ):
     b_idx = pl.program_id(0)
     it = pl.program_id(1)
@@ -137,6 +159,9 @@ def _bwd_kernel(
             acts.append(jax.nn.relu(pre).astype(cdt))
         # --- backward through the chain; d(a_{L-1}) = g for every pair ---
         d = jnp.broadcast_to(g[None, :], (TI * TJ, H))
+        if keep < 1.0:  # same mask as the forward (same seed + coords)
+            mask = _pair_mask(seed_ref, b_idx, it, jt, TI * TJ, keep)
+            d = d * (mask * (1.0 / keep))
         for l in range(L - 1, 0, -1):
             # relu' = (acts > 0); acts = relu(pre) >= 0, so sign(acts) is the
             # mask without an i1 vector (Mosaic relayout of bool tiles fails).
@@ -185,17 +210,20 @@ def _supported(ni: int, nj: int, H: int, L: int) -> bool:
     return bool(ti and tj) and H % 128 == 0 and L >= 2
 
 
-def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
+def _fwd_pallas(u, v, s, qa, ws, bs, seed, inject: int, interpret: bool, keep: float):
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
     TI, TJ = _tiles(ni, nj)
-    kern = functools.partial(_fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj)
+    kern = functools.partial(
+        _fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
+    )
     flops = 2 * B * ni * nj * (L - 1) * H * H + 2 * B * ni * nj * H
     out = pl.pallas_call(
         kern,
         grid=(B, ni // TI),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -209,16 +237,18 @@ def _fwd_pallas(u, v, s, qa, ws, bs, inject: int, interpret: bool):
             flops=flops, bytes_accessed=u.size * 2 * u.dtype.itemsize, transcendentals=0
         ),
         interpret=interpret,
-    )(u, v, s[:, None, :], qa[:, None, :], ws, bs)
+    )(seed, u, v, s[:, None, :], qa[:, None, :], ws, bs)
     return out[:, 0, :]
 
 
-def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
+def _bwd_pallas(u, v, s, qa, ws, bs, seed, g, inject: int, interpret: bool, keep: float):
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
     TI, TJ = _tiles(ni, nj)
-    kern = functools.partial(_bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj)
+    kern = functools.partial(
+        _bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
+    )
     out_shape = (
         jax.ShapeDtypeStruct((B, ni, H), _F32),  # du
         jax.ShapeDtypeStruct((B, nj, H), _F32),  # dv
@@ -239,6 +269,7 @@ def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
         kern,
         grid=(B, ni // TI),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -250,23 +281,25 @@ def _bwd_pallas(u, v, s, qa, ws, bs, g, inject: int, interpret: bool):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(u, v, s[:, None, :], qa[:, None, :], ws, bs, g[:, None, :])
+    )(seed, u, v, s[:, None, :], qa[:, None, :], ws, bs, g[:, None, :])
     return du, dv, ds[:, 0, :], dqa[:, 0, :], dws, dbs
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(inject: int, interpret: bool):
+def _make_core(inject: int, interpret: bool, keep: float):
     @jax.custom_vjp
-    def core(u, v, s, qa, ws, bs):
-        return _fwd_pallas(u, v, s, qa, ws, bs, inject, interpret)
+    def core(u, v, s, qa, ws, bs, seed):
+        return _fwd_pallas(u, v, s, qa, ws, bs, seed, inject, interpret, keep)
 
-    def fwd(u, v, s, qa, ws, bs):
-        return core(u, v, s, qa, ws, bs), (u, v, s, qa, ws, bs)
+    def fwd(u, v, s, qa, ws, bs, seed):
+        return core(u, v, s, qa, ws, bs, seed), (u, v, s, qa, ws, bs, seed)
 
     def bwd(res, gout):
-        u, v, s, qa, ws, bs = res
+        import numpy as _np
+
+        u, v, s, qa, ws, bs, seed = res
         du, dv, ds, dqa, dws, dbs = _bwd_pallas(
-            u, v, s, qa, ws, bs, gout.astype(_F32), inject, interpret
+            u, v, s, qa, ws, bs, seed, gout.astype(_F32), inject, interpret, keep
         )
         return (
             du.astype(u.dtype),
@@ -275,25 +308,57 @@ def _make_core(inject: int, interpret: bool):
             dqa.astype(qa.dtype),
             dws.astype(ws.dtype),
             dbs.astype(bs.dtype),
+            _np.zeros(seed.shape, dtype=jax.dtypes.float0),  # int input
         )
 
     core.defvjp(fwd, bwd)
     return core
 
 
-def pairwise_core(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = False):
-    """Dispatch: fused Pallas on TPU (or interpret mode), jnp elsewhere."""
+def pairwise_core(
+    u, v, s, qa, ws, bs, *,
+    inject: int,
+    interpret: bool = False,
+    pair_keep: float = 1.0,
+    seed=None,
+):
+    """Dispatch: fused Pallas on TPU (or interpret mode), jnp elsewhere.
+
+    pair_keep < 1 enables in-kernel inverted pair dropout; `seed` must then be
+    a (1, 1) int32 array (fresh per step).
+    """
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
     on_tpu = jax.default_backend() == "tpu"
+    if pair_keep < 1.0 and not on_tpu:
+        # pltpu.prng_* has no CPU/interpret lowering
+        raise NotImplementedError(
+            "in-kernel pair dropout runs on TPU only; use the xla impl's "
+            "pair dropout elsewhere"
+        )
     if (on_tpu or interpret) and _supported(ni, nj, H, L):
-        return _make_core(inject, interpret)(u, v, s, qa, ws, bs)
-    return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
+        if seed is None:
+            seed = jnp.zeros((1, 1), jnp.int32)
+        return _make_core(inject, interpret, float(pair_keep))(
+            u, v, s, qa, ws, bs, seed
+        )
+    out = pairwise_core_reference(u, v, s, qa, ws, bs, inject)
+    if pair_keep < 1.0:
+        raise NotImplementedError(
+            "in-kernel pair dropout needs the pallas path; use the xla impl's "
+            "pair dropout on non-TPU backends"
+        )
+    return out
 
 
 def pairwise_core_sharded(
-    u, v, s, qa, ws, bs, *, inject: int, mesh, interpret: bool = False
+    u, v, s, qa, ws, bs, *,
+    inject: int,
+    mesh,
+    interpret: bool = False,
+    pair_keep: float = 1.0,
+    seed=None,
 ):
     """shard_map island: run the fused kernel per shard under a mesh.
 
@@ -308,13 +373,21 @@ def pairwise_core_sharded(
     from jax.sharding import PartitionSpec as P
 
     if mesh is None or mesh.devices.size == 1:
-        return pairwise_core(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
+        return pairwise_core(
+            u, v, s, qa, ws, bs,
+            inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed,
+        )
     has_pairs = "pairs" in mesh.axis_names and mesh.shape["pairs"] > 1
     data_axes = tuple(a for a in mesh.axis_names if a != "pairs")
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
 
-    def f(u_l, v_l, s_l, qa_l, ws_l, bs_l):
+    def f(u_l, v_l, s_l, qa_l, ws_l, bs_l, seed_l):
+        # note: per-shard masks reuse local grid coords, so pair-dropout masks
+        # repeat across 'pairs' shards (unbiased; mild correlation only).
         out = pairwise_core(
-            u_l, v_l, s_l, qa_l, ws_l, bs_l, inject=inject, interpret=interpret
+            u_l, v_l, s_l, qa_l, ws_l, bs_l,
+            inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed_l,
         )
         if has_pairs:
             out = jax.lax.psum(out, "pairs")
@@ -331,12 +404,13 @@ def pairwise_core_sharded(
             P(data_axes, None),
             P(),
             P(),
+            P(None, None),
         ),
         out_specs=P(data_axes, None),
         # pallas_call out_shapes carry no vma info; replication is enforced
         # structurally (psum over 'pairs' above).
         check_vma=False,
-    )(u, v, s, qa, ws, bs)
+    )(u, v, s, qa, ws, bs, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +428,8 @@ def fused_pairwise_g(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     mesh=None,
+    pair_keep: float = 1.0,
+    seed=None,
 ) -> jnp.ndarray:
     """Pooled g_theta over all object pairs; (B, g_out) fp32.
 
@@ -387,6 +463,11 @@ def fused_pairwise_g(
         bs = jnp.stack(bs_list)
     if mesh is not None:
         return pairwise_core_sharded(
-            u, v, s, qa, ws, bs, inject=inject, mesh=mesh, interpret=interpret
+            u, v, s, qa, ws, bs,
+            inject=inject, mesh=mesh, interpret=interpret,
+            pair_keep=pair_keep, seed=seed,
         )
-    return pairwise_core(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
+    return pairwise_core(
+        u, v, s, qa, ws, bs,
+        inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed,
+    )

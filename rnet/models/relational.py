@@ -93,8 +93,6 @@ class RelationalLayer(nn.Module):
             uniform = len(set(self.g_layers)) == 1 and self.g_layers[0] % 128 == 0
             on_tpu = jax.default_backend() == "tpu"
             impl = "pallas" if (n >= 32 and uniform and on_tpu) else "xla"
-        if impl == "pallas" and pair_dropout_active:
-            impl = "xla"  # pair dropout not yet inside the kernel
         return impl
 
     # ---- g over all pairs: (B, n, c), (B, h) -> (B, n^2, g_out) acts ----
@@ -164,6 +162,11 @@ class RelationalLayer(nn.Module):
             from ..kernels.pairwise import fused_pairwise_g
             from ..parallel.mesh import active_mesh
 
+            seed = None
+            if pair_do:  # in-kernel inverted pair dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1, 1), 0, 2**31 - 1, jnp.int32
+                )
             pooled = fused_pairwise_g(
                 x,
                 q,
@@ -172,6 +175,8 @@ class RelationalLayer(nn.Module):
                 inject=self.question_injection_position,
                 dtype=self.dtype,
                 mesh=active_mesh(),
+                pair_keep=1.0 - (self.pair_dropout if pair_do else 0.0),
+                seed=seed,
             )
         else:
             raise ValueError(f"unknown relational impl {impl!r}")

@@ -122,3 +122,58 @@ def test_fused_g_end_to_end_grads(inject):
         grads_f,
         grads_n,
     )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="in-kernel PRNG needs real TPU"
+)
+def test_pair_dropout_in_kernel_tpu():
+    """Dump the kernel's mask, rebuild the masked sum in jnp, compare fwd+VJP."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnet.kernels.pairwise import _pair_mask
+
+    B, n, H, L = 2, 16, 128, 3
+    TI, TJ = _tiles(n, n)
+
+    def mask_kernel(seed_ref, out_ref):
+        b = pl.program_id(0)
+        it = pl.program_id(1)
+        for jt in range(n // TJ):
+            m = _pair_mask(seed_ref, b, it, jt, TI * TJ, 0.5)
+            out_ref[0, :, jt * TJ : (jt + 1) * TJ] = m.reshape(TI, TJ)
+
+    seed = jnp.array([[7]], jnp.int32)
+    mask = pl.pallas_call(
+        mask_kernel,
+        grid=(B, n // TI),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, TI, n), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+    )(seed)
+    assert 0.4 < float(mask.mean()) < 0.6  # ~keep fraction
+
+    args = _inputs(B, n, H, L, inject=0)
+    mj = mask.reshape(B, n * n, 1)
+
+    def ref_masked(u, v, s, qa, ws, bs):
+        a = jax.nn.relu(
+            u[:, :, None, :] + v[:, None, :, :] + s[:, None, None, :]
+        ).reshape(B, n * n, H)
+        for l in range(1, L):
+            a = jax.nn.relu(a @ ws[l - 1] + bs[l - 1][None, None, :])
+        return (a * mj * 2.0).sum(1)
+
+    o_k = pairwise_core(*args, inject=0, pair_keep=0.5, seed=seed)
+    o_r = ref_masked(*args)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), rtol=1e-5)
+
+    r = jax.random.normal(jax.random.key(9), (B, H))
+    gk = jax.grad(
+        lambda u: (pairwise_core(u, *args[1:], inject=0, pair_keep=0.5, seed=seed) * r).sum()
+    )(args[0])
+    gr = jax.grad(lambda u: (ref_masked(u, *args[1:]) * r).sum())(args[0])
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
