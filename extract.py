@@ -64,7 +64,8 @@ def main(argv=None):
 
     # init a skeleton state, then load weights
     sample = next(iter(BatchIterator(ds, min(args.batch_size, len(ds)), invert=False)))
-    sample.setdefault("question", np.ones((args.batch_size, cfg.question_max_len), np.int32))
+    lead = next(iter(sample.values())).shape[0]
+    sample.setdefault("question", np.ones((lead, cfg.question_max_len), np.int32))
     state = create_train_state(
         model, cfg, make_optimizer(1e-4), jax.random.key(0),
         jax.tree.map(jnp.asarray, sample),
