@@ -130,6 +130,9 @@ def build_datasets(
                 image_size=cfg.image_size,
                 question_max_len=cfg.question_max_len,
                 train_transform=(split == "train"),
+                # rotation happens on device when device_augment is on —
+                # don't rotate twice
+                max_rot_deg=0.0 if cfg.device_augment else 2.8,
             )
     return out
 

@@ -82,6 +82,7 @@ class ClevrDataset:
         image_size: int = 128,
         question_max_len: int = 48,
         train_transform: Optional[bool] = None,
+        max_rot_deg: float = 2.8,
     ):
         self.clevr_dir = clevr_dir
         self.split = split
@@ -91,7 +92,7 @@ class ClevrDataset:
         with open(qpath) as f:
             self.questions = json.load(f)["questions"]
         is_train = train_transform if train_transform is not None else (split == "train")
-        self.transform = ImageTransform(image_size, train=is_train)
+        self.transform = ImageTransform(image_size, train=is_train, max_rot_deg=max_rot_deg)
         self.img_dir = os.path.join(clevr_dir, "images", split)
 
     def __len__(self) -> int:

@@ -106,19 +106,28 @@ def prefetch_to_device(
     sharding: Optional[Any] = None,
     buffer_size: int = 2,
 ) -> Iterator[Dict[str, Any]]:
-    """Double-buffered jax.device_put; optionally shards batches over a Mesh.
+    """Double-buffered device placement; optionally shards batches over a Mesh.
 
-    With a NamedSharding whose first axis is the data mesh axis, device_put
-    splits the host batch across chips directly (the pjit data-parallel feed).
+    With a NamedSharding whose first axis is the data mesh axis, the host
+    batch is split across chips directly (the pjit data-parallel feed). In
+    multi-host runs each process holds only its local slice of the global
+    batch (the iterator shards sample order per process), so placement goes
+    through make_array_from_process_local_data — a plain device_put with a
+    global sharding would silently misread the local slice as the global
+    batch.
     """
     import jax
 
     def place(batch):
         if sharding is None:
             return jax.device_put(batch)
-        return jax.tree.map(
-            lambda x: jax.device_put(x, _shard_for(sharding, x)), batch
-        )
+        multihost = jax.process_count() > 1
+        def put(x):
+            s = _shard_for(sharding, x)
+            if multihost:
+                return jax.make_array_from_process_local_data(s, x)
+            return jax.device_put(x, s)
+        return jax.tree.map(put, batch)
 
     def _shard_for(s, x):
         # Rank-adjust a NamedSharding spec to the array's rank (batch dim only).

@@ -343,13 +343,13 @@ def pairwise_core(
         return _make_core(inject, interpret, float(pair_keep))(
             u, v, s, qa, ws, bs, seed
         )
-    out = pairwise_core_reference(u, v, s, qa, ws, bs, inject)
     if pair_keep < 1.0:
         raise NotImplementedError(
-            "in-kernel pair dropout needs the pallas path; use the xla impl's "
-            "pair dropout on non-TPU backends"
+            "in-kernel pair dropout needs a pallas-supported shape "
+            f"(ni={ni}, nj={nj}, H={H}, L={L}); use the xla impl's pair "
+            "dropout instead"
         )
-    return out
+    return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
 
 
 def pairwise_core_sharded(
@@ -383,8 +383,15 @@ def pairwise_core_sharded(
         seed = jnp.zeros((1, 1), jnp.int32)
 
     def f(u_l, v_l, s_l, qa_l, ws_l, bs_l, seed_l):
-        # note: per-shard masks reuse local grid coords, so pair-dropout masks
-        # repeat across 'pairs' shards (unbiased; mild correlation only).
+        if pair_keep < 1.0:
+            # decorrelate dropout masks across shards: the replicated seed is
+            # offset by a per-shard id (local grid coords repeat per shard).
+            shard_id = jnp.int32(0)
+            stride = 1
+            for ax in mesh.axis_names:
+                shard_id = shard_id + jax.lax.axis_index(ax) * stride
+                stride *= mesh.shape[ax]
+            seed_l = seed_l + shard_id * jnp.int32(1_000_003)
         out = pairwise_core(
             u_l, v_l, s_l, qa_l, ws_l, bs_l,
             inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed_l,

@@ -85,7 +85,7 @@ class RelationalLayer(nn.Module):
 
     # ---- implementation selection ----
 
-    def _resolve_impl(self, n: int, pair_dropout_active: bool) -> str:
+    def _resolve_impl(self, n: int) -> str:
         impl = self.impl
         if impl == "auto":
             # pallas pays off when the pair axis is large and widths are
@@ -151,7 +151,7 @@ class RelationalLayer(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         pair_do = train and self.pair_dropout > 0.0
-        impl = self._resolve_impl(x.shape[1], pair_do)
+        impl = self._resolve_impl(x.shape[1])
         x = x.astype(self.dtype)
         q = q.astype(self.dtype)
         if impl == "naive":

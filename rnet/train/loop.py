@@ -46,13 +46,8 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 
 
 def make_injected_optimizer(lr: float, clip_norm: float, weight_decay: float = 0.0):
-    chain = []
-    if clip_norm and clip_norm > 0:
-        chain.append(optax.clip_by_global_norm(clip_norm))
-    if weight_decay and weight_decay > 0:
-        chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
-    return optax.chain(*chain)
+    """The trainer's optimizer: shared chain with recompile-free LR injection."""
+    return make_optimizer(lr, clip_norm, weight_decay, inject_lr=True)
 
 
 class Trainer:
@@ -163,6 +158,9 @@ class Trainer:
             shard=(rank, world),
         )
         n_batches = len(it)
+        # per-step metrics stay on device (tiny scalars); fetched in one shot
+        # at epoch end so the epoch mean covers EVERY step, while the periodic
+        # log fetch doubles as the dispatch-queue drain.
         losses, accs = [], []
         t0 = time.time()
         n_seen = 0
@@ -175,11 +173,11 @@ class Trainer:
             ):
                 self.state, metrics = self.jit_train(self.state, batch)
                 n_seen += bs
+                losses.append(metrics["loss"])
+                accs.append(metrics["accuracy"])
                 if (i + 1) % self.log_interval == 0 or i + 1 == n_batches:
                     loss = float(metrics["loss"])
                     acc = float(metrics["accuracy"])
-                    losses.append(loss)
-                    accs.append(acc)
                     self.log(
                         f"Train Epoch: {epoch} [{i + 1}/{n_batches}] "
                         f"Loss: {loss:.4f} Acc: {acc:.3f} LR: {lr:.2e} BS: {bs}"
@@ -190,11 +188,13 @@ class Trainer:
                          "train/grad_norm": float(metrics["grad_norm"]),
                          "train/lr": lr},
                     )
+        mean_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+        mean_acc = float(jnp.stack(accs).mean()) if accs else float("nan")
         dt = time.time() - t0
         return {
             "epoch": epoch,
-            "train_loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "train_loss": mean_loss,
+            "train_acc": mean_acc,
             "lr": lr,
             "batch_size": bs,
             "sec": dt,

@@ -31,26 +31,3 @@ class DoublingSchedule:
 
     def int_value(self, epoch: int) -> int:
         return int(round(self.value(epoch)))
-
-
-def lr_schedule_fn(sched: DoublingSchedule, steps_per_epoch: int):
-    """optax-compatible step->lr schedule (piecewise-constant per epoch).
-
-    Built host-side as a closure over python ints; the returned fn uses only
-    jnp ops so it can live inside the jitted optimizer.
-    """
-    import jax.numpy as jnp
-
-    base, gamma, step_e, vmax = sched.base, sched.gamma, sched.step, sched.max
-
-    def fn(count):
-        epoch = count // max(steps_per_epoch, 1)  # 0-based epoch index
-        if step_e <= 0 or gamma == 1.0:
-            lr = jnp.asarray(base, jnp.float32)
-        else:
-            lr = base * (gamma ** (epoch // step_e)).astype(jnp.float32)
-        if vmax is not None:
-            lr = jnp.minimum(lr, vmax)
-        return lr
-
-    return fn

@@ -39,14 +39,24 @@ def make_optimizer(
     lr: optax.ScalarOrSchedule,
     clip_norm: float = 50.0,
     weight_decay: float = 0.0,
+    inject_lr: bool = False,
 ) -> optax.GradientTransformation:
-    """Adam(lr) with global-norm clipping, matching the reference loop."""
+    """Adam(lr) with global-norm clipping, matching the reference loop.
+
+    inject_lr=True wraps adam in optax.inject_hyperparams so the LR can be
+    updated per epoch without recompiling (see loop.set_learning_rate).
+    """
     chain = []
     if clip_norm and clip_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_norm))
     if weight_decay and weight_decay > 0:
         chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
+    def adam(learning_rate):
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+    chain.append(
+        optax.inject_hyperparams(adam)(learning_rate=lr) if inject_lr else adam(lr)
+    )
     return optax.chain(*chain)
 
 
