@@ -19,7 +19,6 @@ import os
 import random
 from typing import Dict, List, Tuple
 
-import numpy as np
 from PIL import Image, ImageDraw
 
 from .vocab import (

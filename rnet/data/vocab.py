@@ -17,7 +17,7 @@ import json
 import os
 import pickle
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

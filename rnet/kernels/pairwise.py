@@ -27,7 +27,7 @@ custom_vjp boundary, so autodiff handles them for free.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

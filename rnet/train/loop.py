@@ -9,14 +9,13 @@ data-parallelism, per-batch-size-phase compile caching.
 
 from __future__ import annotations
 
-import sys
 import time
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
 
 from ..config import ModelConfig
 from ..data.pipeline import BatchIterator, prefetch_to_device

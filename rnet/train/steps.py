@@ -10,15 +10,14 @@ needed for data parallelism).
 
 from __future__ import annotations
 
-import dataclasses
+
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..config import ModelConfig
 from ..models import RN

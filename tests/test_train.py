@@ -141,3 +141,18 @@ def test_fp_train_smoke(fixture_dir, dicts, tmp_path):
     stats = tr.train_epoch(1)
     assert np.isfinite(stats["train_loss"])
     assert tr.state.batch_stats  # BN stats updated on the fp path
+
+
+def test_bs_doubling_rebuilds_loader(fixture_dir, dicts, tmp_path):
+    """Batch size doubles per epoch up to the cap; steps stay consistent."""
+    tr = _sd_trainer(
+        fixture_dir, dicts, tmp_path,
+        bs=DoublingSchedule(base=8, gamma=2.0, step=1, max=16),
+    )
+    s1 = tr.train_epoch(1)
+    s2 = tr.train_epoch(2)
+    s3 = tr.train_epoch(3)
+    assert (s1["batch_size"], s2["batch_size"], s3["batch_size"]) == (8, 16, 16)
+    # each phase ran the right number of steps for its batch size
+    n = len(tr.train_ds)
+    assert int(tr.state.step) == n // 8 + 2 * (n // 16)
