@@ -32,9 +32,9 @@ def _inputs(B, n, H, L, inject, key=0):
 
 
 def test_tile_selection():
-    assert _tiles(64) == (16, 64)
+    assert _tiles(64) == (32, 64)  # 2048 rows per block
     ti, tj = _tiles(256)
-    assert 256 % ti == 0 and tj == 128
+    assert 256 % ti == 0 and tj == 128 and ti * tj <= 2048
     assert _tiles(12)[0] == 0 or 12 % _tiles(12)[0] == 0
 
 
