@@ -55,15 +55,6 @@ def distributed_init(
         pass  # single-process / no coordinator configured
 
 
-def process_shard(n: int) -> slice:
-    """This host's contiguous shard of a length-n global batch axis."""
-    import jax
-
-    rank, world = jax.process_index(), jax.process_count()
-    per = n // world
-    return slice(rank * per, (rank + 1) * per)
-
-
 def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
     """Build a mesh from a spec like "data:4" or "data:4,pairs:2".
 

@@ -18,6 +18,10 @@ import jax
 
 if not os.environ.get("RNET_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # fp32 tolerance tests need true fp32 matmuls on the MXU (default TPU
+    # fp32 uses multi-pass bf16 with looser error bounds)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
