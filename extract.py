@@ -40,6 +40,9 @@ def main(argv=None):
     from rnet.train.checkpoint import CheckpointManager, import_weights
     from rnet.train.steps import TrainState, create_train_state, make_optimizer
 
+    from rnet.cli import apply_platform
+
+    apply_platform(args)
     dicts = load_dicts(args)
     cfg = config_from_args(args, dicts)
     if cfg.question_injection_position < 1:

@@ -64,6 +64,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         help='device mesh spec, e.g. "data:8" or "data:4,pairs:2" (default: all devices on data)',
     )
     p.add_argument(
+        "--platform",
+        choices=["default", "cpu"],
+        default="default",
+        help="force the JAX platform (reference --no-cuda analog: 'cpu')",
+    )
+    p.add_argument(
         "--data-pipeline",
         choices=["pil", "cached"],
         default="pil",
@@ -77,6 +83,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         default=None,
         help="run train-time rotation on device (recommended with --data-pipeline cached)",
     )
+
+
+def apply_platform(args: argparse.Namespace) -> None:
+    """Honor --platform cpu BEFORE any jax backend initialization."""
+    if getattr(args, "platform", "default") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConfig:

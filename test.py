@@ -35,6 +35,9 @@ def main(argv=None):
     from rnet.train.loop import Trainer
     from rnet.train.schedules import DoublingSchedule
 
+    from rnet.cli import apply_platform
+
+    apply_platform(args)
     dicts = load_dicts(args)
     cfg = config_from_args(args, dicts)
     ds = build_datasets(args, cfg, dicts, splits=("train", args.split))

@@ -63,6 +63,9 @@ def main(argv=None):
     from rnet.train.loop import Trainer
     from rnet.train.schedules import DoublingSchedule
 
+    from rnet.cli import apply_platform
+
+    apply_platform(args)
     dicts = load_dicts(args)
     cfg = config_from_args(args, dicts)
     print(f"model: {cfg.name} | vocab {dicts.vocab_size} | answers {dicts.n_answers}")
