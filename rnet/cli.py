@@ -71,10 +71,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--data-pipeline",
-        choices=["pil", "cached"],
+        choices=["pil", "cached", "device"],
         default="pil",
-        help="pil: per-item decode (reference-style); cached: one-time decoded "
-        "uint8 memmap + host crop jitter + on-device rotation",
+        help="pil: per-item decode (reference-style); cached: decoded uint8 "
+        "memmap + vectorized batches + on-device crop/rotation; device: the "
+        "whole decoded split lives in HBM and batches carry only indices "
+        "(CLEVR train at 144^2 uint8 is ~4.2 GB)",
     )
     p.add_argument(
         "--device-augment",
@@ -105,7 +107,10 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "device_augment",
         )
     }
-    if getattr(args, "data_pipeline", "pil") == "cached" and overrides.get("device_augment") is None:
+    if (
+        getattr(args, "data_pipeline", "pil") in ("cached", "device")
+        and overrides.get("device_augment") is None
+    ):
         overrides["device_augment"] = True
     cfg = load_config(args.model, args.config, overrides)
     return cfg.replace(n_answers=dicts.n_answers)
@@ -125,7 +130,7 @@ def build_datasets(
                 object_dim=cfg.object_dim,
                 question_max_len=cfg.question_max_len,
             )
-        elif getattr(args, "data_pipeline", "pil") == "cached":
+        elif getattr(args, "data_pipeline", "pil") in ("cached", "device"):
             from .data.cache import CachedClevrDataset
 
             out[split] = CachedClevrDataset(
@@ -135,6 +140,10 @@ def build_datasets(
                 image_size=cfg.image_size,
                 question_max_len=cfg.question_max_len,
                 train_transform=(split == "train"),
+                # with device_augment the crop ALSO moves on device: ship
+                # padded images so batch assembly is one gather
+                serve_padded=cfg.device_augment,
+                serve_indices=(args.data_pipeline == "device"),
             )
         else:
             out[split] = ClevrDataset(

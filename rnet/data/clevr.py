@@ -153,26 +153,56 @@ class ClevrDatasetStateDescription:
             self.questions = json.load(f)["questions"]
         with open(os.path.join(clevr_dir, "scenes", f"CLEVR_{split}_scenes.json")) as f:
             scenes = json.load(f)["scenes"]
-        # Pre-vectorize scenes once (cheap; avoids per-item JSON walking).
-        self._objects = {
+        # Pre-vectorize everything once: batch assembly is pure gathers
+        # (scene->vector conversion, tokenization, and answer lookup all
+        # leave the hot loop).
+        obj_by_image = {
             s["image_index"]: scene_to_objects(s["objects"], max_objects, object_dim)
             for s in scenes
         }
-        self._n_objects = {
+        n_by_image = {
             s["image_index"]: min(len(s["objects"]), max_objects) for s in scenes
         }
+        self._objects = np.stack(
+            [obj_by_image[q["image_index"]] for q in self.questions]
+        )
+        self._n_objects = np.asarray(
+            [n_by_image[q["image_index"]] for q in self.questions], dtype=np.int32
+        )
+        self._tokens = np.stack(
+            [dictionaries.encode_question(q["question"], question_max_len) for q in self.questions]
+        )
+        self._answers = np.asarray(
+            [dictionaries.encode_answer(str(q["answer"]).lower()) for q in self.questions],
+            dtype=np.int32,
+        )
 
     def __len__(self) -> int:
         return len(self.questions)
 
-    def __getitem__(self, i: int, rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
-        q = self.questions[i]
-        idx = q["image_index"]
+    def get_batch(self, idxs, rng=None) -> Dict[str, np.ndarray]:
+        idxs = np.asarray(idxs, dtype=np.int32)
         return {
-            "objects": self._objects[idx],
-            "n_objects": np.int32(self._n_objects[idx]),
-            "question": self.dicts.encode_question(q["question"], self.max_len),
-            "answer": np.int32(self.dicts.encode_answer(str(q["answer"]).lower())),
+            "objects": self._objects[idxs],
+            "n_objects": self._n_objects[idxs],
+            "question": self._tokens[idxs],
+            "answer": self._answers[idxs],
+        }
+
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        """Per-question arrays for the device-resident pipeline."""
+        return {
+            "objects": self._objects,
+            "question": self._tokens,
+            "answer": self._answers,
+        }
+
+    def __getitem__(self, i: int, rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+        return {
+            "objects": self._objects[i],
+            "n_objects": np.int32(self._n_objects[i]),
+            "question": self._tokens[i],
+            "answer": np.int32(self._answers[i]),
         }
 
 

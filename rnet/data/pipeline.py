@@ -83,17 +83,22 @@ class BatchIterator:
         if world > 1:
             order = order[rank::world]
         nb = len(self)
+        vectorized = hasattr(self.ds, "get_batch")
         with ThreadPoolExecutor(self.num_threads) as pool:
             for b in range(nb):
                 idxs = order[b * self.bs : (b + 1) * self.bs]
                 valid = np.zeros((self.bs,), dtype=bool)
                 valid[: len(idxs)] = True
                 while len(idxs) < self.bs:  # pad short final batch
-                    idxs.append(order[0])
-                items = list(pool.map(self._get, idxs))
-                batch: Dict[str, np.ndarray] = {}
-                for key in items[0]:
-                    batch[key] = _stack(items, key)
+                    idxs.append(order[0] if order else 0)
+                if vectorized:
+                    rng = random.Random(
+                        (self.seed * 1_000_003 + self.epoch) * 1_000_003 + b
+                    )
+                    batch = dict(self.ds.get_batch(idxs, rng=rng))
+                else:
+                    items = list(pool.map(self._get, idxs))
+                    batch = {key: _stack(items, key) for key in items[0]}
                 if self.invert and "question" in batch:
                     batch["question"] = invert_questions(batch["question"])
                 if not self.drop_last:

@@ -67,6 +67,15 @@ class RN(nn.Module):
         if cfg.state_description:
             return inputs  # (B, n, object_dim) from the dataset
         x = inputs
+        if x.shape[1] > cfg.image_size:
+            # padded images from the cached pipeline: crop on device (random
+            # jitter in training, center crop == plain resize at eval)
+            from ..data.augment import center_crop_batch, random_crop_batch
+
+            if train and cfg.device_augment:
+                x = random_crop_batch(x, self.make_rng("dropout"), cfg.image_size)
+            else:
+                x = center_crop_batch(x, cfg.image_size)
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.dtype(cfg.compute_dtype)) / 255.0
         if train and cfg.device_augment:

@@ -72,6 +72,7 @@ class Trainer:
         tb_dir: Optional[str] = None,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 1,
+        device_data: bool = False,
     ):
         self.cfg = cfg
         self.dicts = dicts
@@ -93,6 +94,45 @@ class Trainer:
         )
         self.ckpt = CheckpointManager(checkpoint_dir, cfg.name)
 
+        # device-resident image caches (serve_indices datasets): the decoded
+        # padded uint8 images live in HBM once; batches carry only indices.
+        def _device_cache(ds):
+            if getattr(ds, "serve_indices", False):
+                return jax.device_put(
+                    np.asarray(ds.images), pmesh.replicated(self.mesh)
+                )
+            return None
+
+        self.train_cache = _device_cache(train_ds)
+        self.val_cache = _device_cache(val_ds)
+
+        # device-resident per-question data + chunked multi-step dispatch:
+        # the whole epoch's tokens/answers/(objects|image indices) live in
+        # HBM and each jit call runs log_interval steps over an index block
+        # (see steps.make_chunked_steps). Single-process only.
+        self.train_data = self.val_data = None
+        if (
+            device_data
+            and jax.process_count() == 1
+            and hasattr(train_ds, "device_arrays")
+            and train_ds.device_arrays() is not None
+        ):
+            from ..data.vocab import invert_questions
+            from .steps import make_chunked_steps
+
+            self.jit_train_chunk, self.jit_eval_chunk = make_chunked_steps(
+                self.model, cfg, self.optimizer
+            )
+
+            def _prep(ds):
+                arrs = dict(ds.device_arrays())
+                if self.invert:
+                    arrs["question"] = invert_questions(arrs["question"])
+                return jax.device_put(arrs, pmesh.replicated(self.mesh))
+
+            self.train_data = _prep(train_ds)
+            self.val_data = _prep(val_ds)
+
         # init on a sample batch (static shapes fixed by config maxima)
         bs0 = bs.int_value(1)
         sample = next(
@@ -105,7 +145,8 @@ class Trainer:
         sample = jax.tree.map(jnp.asarray, sample)
         self.state = pmesh.replicate_state(
             create_train_state(
-                self.model, cfg, self.optimizer, jax.random.key(seed), sample
+                self.model, cfg, self.optimizer, jax.random.key(seed), sample,
+                image_cache=self.train_cache,
             ),
             self.mesh,
         )
@@ -138,12 +179,99 @@ class Trainer:
 
     # ---- epochs ----
 
+    def _idx_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, "data"))
+
+    def _train_epoch_device(self, epoch: int, lr: float, bs: int) -> Dict[str, float]:
+        """Epoch over device-resident data: K-step chunks, one dispatch each."""
+        n = len(self.train_ds)
+        nb = n // bs
+        order = (
+            np.random.RandomState((self.seed * 1_000_003 + epoch) % (2**31))
+            .permutation(n)[: nb * bs]
+            .astype(np.int32)
+            .reshape(nb, bs)
+        )
+        C = max(1, self.log_interval)
+        t0 = time.time()
+        all_ms = []
+        with self.mesh, pmesh.pair_sharding(self.mesh):
+            for c0 in range(0, nb, C):
+                idx = jax.device_put(order[c0 : c0 + C], self._idx_sharding())
+                self.state, ms = self.jit_train_chunk(
+                    self.state, idx, self.train_data, self.train_cache
+                )
+                ms = np.asarray(ms)  # one fetch per chunk; drains the queue
+                all_ms.append(ms)
+                done = min(c0 + C, nb)
+                self.log(
+                    f"Train Epoch: {epoch} [{done}/{nb}] "
+                    f"Loss: {ms[-1, 0]:.4f} Acc: {ms[-1, 1]:.3f} LR: {lr:.2e} BS: {bs}"
+                )
+                self.scalars.write(
+                    int(self.state.step),
+                    {"train/loss": float(ms[-1, 0]), "train/accuracy": float(ms[-1, 1]),
+                     "train/grad_norm": float(ms[-1, 2]), "train/lr": lr},
+                )
+        ms = np.concatenate(all_ms, axis=0)
+        dt = time.time() - t0
+        return {
+            "epoch": epoch,
+            "train_loss": float(ms[:, 0].mean()),
+            "train_acc": float(ms[:, 1].mean()),
+            "lr": lr,
+            "batch_size": bs,
+            "sec": dt,
+            "qps": nb * bs / dt if dt > 0 else 0.0,
+        }
+
+    def _eval_epoch_device(self, epoch: int, bs: int) -> Dict[str, float]:
+        n = len(self.val_ds)
+        nb = -(-n // bs)
+        idx = np.zeros((nb * bs,), np.int32)
+        idx[:n] = np.arange(n, dtype=np.int32)
+        valid = np.zeros((nb * bs,), bool)
+        valid[:n] = True
+        idx = idx.reshape(nb, bs)
+        valid = valid.reshape(nb, bs)
+        acc = EvalAccumulator(self.dicts)
+        C = max(1, self.log_interval)
+        t0 = time.time()
+        with self.mesh, pmesh.pair_sharding(self.mesh):
+            for c0 in range(0, nb, C):
+                sh = self._idx_sharding()
+                outs = self.jit_eval_chunk(
+                    self.state,
+                    jax.device_put(idx[c0 : c0 + C], sh),
+                    jax.device_put(valid[c0 : c0 + C], sh),
+                    self.val_data,
+                    self.val_cache,
+                )
+                pred, label, vld, nll = (np.asarray(o) for o in outs)
+                acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum())
+        dt = time.time() - t0
+        self.log(
+            f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "
+            f"nll: {acc.mean_nll:.4f} ({n / dt:.0f} q/s)"
+        )
+        return {
+            "epoch": epoch,
+            "val_acc": acc.accuracy,
+            "val_nll": acc.mean_nll,
+            "val_qps": n / dt if dt > 0 else 0.0,
+            "_accumulator": acc,
+        }
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         lr = self.lr_sched.value(epoch)
         bs = self.bs_sched.int_value(epoch)
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
         self.state = set_learning_rate(self.state, lr)
+        if self.train_data is not None:
+            return self._train_epoch_device(epoch, lr, bs)
         rank, world = jax.process_index(), jax.process_count()
         it = BatchIterator(
             self.train_ds,
@@ -170,7 +298,7 @@ class Trainer:
             for i, batch in enumerate(
                 prefetch_to_device(iter(it), pmesh.batch_sharding(self.mesh))
             ):
-                self.state, metrics = self.jit_train(self.state, batch)
+                self.state, metrics = self.jit_train(self.state, batch, self.train_cache)
                 n_seen += bs
                 losses.append(metrics["loss"])
                 accs.append(metrics["accuracy"])
@@ -202,6 +330,9 @@ class Trainer:
 
     def eval_epoch(self, epoch: int, batch_size: Optional[int] = None) -> Dict[str, float]:
         bs = batch_size or self.bs_sched.int_value(max(epoch, 1))
+        if self.val_data is not None:
+            bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
+            return self._eval_epoch_device(epoch, bs)
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
         acc = EvalAccumulator(self.dicts)
         rank, world = jax.process_index(), jax.process_count()
@@ -218,7 +349,7 @@ class Trainer:
         n = 0
         with self.mesh, pmesh.pair_sharding(self.mesh):
             for batch in prefetch_to_device(iter(it), pmesh.batch_sharding(self.mesh)):
-                out = self.jit_eval(self.state, batch)
+                out = self.jit_eval(self.state, batch, self.val_cache)
                 if world > 1:  # gather globally-sharded results on every host
                     from jax.experimental import multihost_utils
 

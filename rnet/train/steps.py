@@ -65,8 +65,9 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     rng: jax.Array,
     sample_batch: Dict[str, jnp.ndarray],
+    image_cache=None,
 ) -> TrainState:
-    inputs = sample_batch["objects" if cfg.state_description else "image"]
+    inputs = _inputs_of(sample_batch, cfg, image_cache)
     variables = model.init(rng, inputs, sample_batch["question"], train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -79,13 +80,20 @@ def create_train_state(
     )
 
 
-def _inputs_of(batch: Dict[str, jnp.ndarray], cfg: ModelConfig):
-    return batch["objects" if cfg.state_description else "image"]
+def _inputs_of(batch: Dict[str, jnp.ndarray], cfg: ModelConfig, image_cache=None):
+    if cfg.state_description:
+        return batch["objects"]
+    if image_cache is not None and "image_idx" in batch:
+        # device-resident pipeline: gather this batch's (padded) images from
+        # the HBM cache — only int32 indices ever cross host->device
+        return image_cache[batch["image_idx"]]
+    return batch["image"]
 
 
 def train_step(
     state: TrainState,
     batch: Dict[str, jnp.ndarray],
+    image_cache=None,
     *,
     model: RN,
     cfg: ModelConfig,
@@ -93,7 +101,7 @@ def train_step(
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step. Pure; jit with static model/cfg/optimizer via closure."""
     rng, dropout_rng = jax.random.split(jax.random.wrap_key_data(state.rng))
-    inputs = _inputs_of(batch, cfg)
+    inputs = _inputs_of(batch, cfg, image_cache)
     labels = batch["answer"]
 
     def loss_fn(params):
@@ -139,6 +147,7 @@ def train_step(
 def eval_step(
     state: TrainState,
     batch: Dict[str, jnp.ndarray],
+    image_cache=None,
     *,
     model: RN,
     cfg: ModelConfig,
@@ -148,7 +157,7 @@ def eval_step(
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     logp = model.apply(
-        variables, _inputs_of(batch, cfg), batch["question"], train=False
+        variables, _inputs_of(batch, cfg, image_cache), batch["question"], train=False
     )
     pred = logp.argmax(-1)
     labels = batch["answer"]
@@ -171,3 +180,41 @@ def make_jitted_steps(model, cfg, optimizer, donate: bool = True):
     jts = jax.jit(ts, donate_argnums=(0,) if donate else ())
     jes = jax.jit(es)
     return jts, jes
+
+
+def make_chunked_steps(model, cfg, optimizer, donate: bool = True):
+    """Multi-step dispatch for device-resident data (the 'device' pipeline).
+
+    One jit call runs K steps via lax.scan: per step, the (bs,) sample
+    indices gather the batch from per-question device arrays (`data`), so the
+    host sends only an int32 (K, bs) index block per dispatch. This amortizes
+    dispatch/transfer latency K-fold — on fast hosts it is merely tidy, on a
+    tunneled TPU it is the difference between latency-bound and compute-bound
+    training.
+    """
+    ts = partial(train_step, model=model, cfg=cfg, optimizer=optimizer)
+    es = partial(eval_step, model=model, cfg=cfg)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_chunk(state, idx_chunk, data, image_cache):
+        def body(st, idx):
+            batch = jax.tree.map(lambda v: v[idx], data)
+            st, m = ts(st, batch, image_cache)
+            return st, jnp.stack([m["loss"], m["accuracy"], m["grad_norm"]])
+
+        state, ms = jax.lax.scan(body, state, idx_chunk)
+        return state, ms  # (K, 3): loss, accuracy, grad_norm per step
+
+    @jax.jit
+    def eval_chunk(state, idx_chunk, valid_chunk, data, image_cache):
+        def body(_, iv):
+            idx, valid = iv
+            batch = jax.tree.map(lambda v: v[idx], data)
+            batch["valid"] = valid
+            out = es(state, batch, image_cache)
+            return None, (out["pred"], out["label"], out["valid"], out["nll_sum"])
+
+        _, outs = jax.lax.scan(body, None, (idx_chunk, valid_chunk))
+        return outs  # each (K, bs) / (K,)
+
+    return train_chunk, eval_chunk

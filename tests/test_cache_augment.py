@@ -93,3 +93,90 @@ def test_device_augment_in_rn(fixture_dir, dicts):
         mutable=["batch_stats"],
     )
     assert out_tr.shape == (2, cfg.n_answers)
+
+
+def test_device_pipeline_serve_indices_train(fixture_dir, dicts, tmp_path):
+    """End-to-end device-resident pipeline: only indices cross to the step."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnet.config import load_config
+    from rnet.data.cache import CachedClevrDataset
+    from rnet.data.pipeline import BatchIterator
+    from rnet.train.loop import Trainer
+    from rnet.train.schedules import DoublingSchedule
+
+    ds_kw = dict(image_size=32, question_max_len=24)
+    train_ds = CachedClevrDataset(
+        fixture_dir, "train", dicts, train_transform=True,
+        serve_padded=True, serve_indices=True, **ds_kw,
+    )
+    b = next(iter(BatchIterator(train_ds, 8, shuffle=True)))
+    assert set(b) == {"image_idx", "question", "answer"}
+    assert b["image_idx"].dtype == np.int32
+
+    cfg = (
+        load_config("original-fp", overrides={"compute_dtype": "float32", "rl_impl": "xla"})
+        .replace(
+            image_size=32, g_layers=(32, 32), f_layers=(16,), lstm_hidden=16,
+            lstm_word_emb=8, dropout=0.0, question_max_len=24,
+            n_answers=dicts.n_answers, device_augment=True,
+        )
+    )
+    val_ds = CachedClevrDataset(
+        fixture_dir, "val", dicts, train_transform=False,
+        serve_padded=True, serve_indices=True, **ds_kw,
+    )
+    tr = Trainer(
+        cfg, dicts.vocab_size, train_ds, val_ds, dicts,
+        lr=DoublingSchedule(base=1e-3, gamma=1.0, step=0),
+        bs=DoublingSchedule(base=8, gamma=1.0, step=0),
+        checkpoint_dir=str(tmp_path / "ckpt_dev"), log_interval=100,
+        log_fn=lambda *a: None,
+    )
+    assert tr.train_cache is not None and tr.train_cache.shape[1] == 32 + 16
+    stats = tr.train_epoch(1)
+    assert np.isfinite(stats["train_loss"])
+    ev = tr.eval_epoch(1)
+    assert 0.0 <= ev["val_acc"] <= 1.0
+
+
+def test_rotate_shear_matches_bilinear():
+    """The gather-free 3-shear rotation tracks the bilinear oracle.
+
+    Smooth test content: on white noise any two interpolation kernels differ
+    by O(pixel variance); on smooth images both converge to the true warp.
+    """
+    from rnet.data.augment import rotate_shear_batch
+
+    y, x = np.mgrid[0:64, 0:64]
+    base = np.exp(-((x - 40) ** 2 + (y - 24) ** 2) / 120.0) + x / 128.0 + y / 180.0
+    imgs = jnp.asarray(
+        np.stack([np.stack([base] * 3, -1)] * 3).astype(np.float32)
+    )
+    angles = jnp.asarray([0.0, 0.045, -0.04])  # up to ~2.6 deg
+    out = np.asarray(rotate_shear_batch(imgs, angles))
+    # angle 0 -> exact identity
+    np.testing.assert_allclose(out[0], np.asarray(imgs[0]), atol=1e-6)
+    for i in (1, 2):
+        ref = np.asarray(rotate_bilinear(imgs[i], angles[i]))
+        m = 6  # interior (borders differ: wrap vs clamp)
+        diff = np.abs(out[i, m:-m, m:-m] - ref[m:-m, m:-m])
+        assert float(diff.mean()) < 2e-3, float(diff.mean())
+
+
+def test_random_crop_batch_group_offsets():
+    from rnet.data.augment import random_crop_batch
+
+    imgs = jnp.arange(8 * 12 * 12 * 1, dtype=jnp.float32).reshape(8, 12, 12, 1)
+    out = np.asarray(random_crop_batch(imgs, jax.random.key(0), 8, groups=4))
+    assert out.shape == (8, 8, 8, 1)
+    # every crop is a contiguous window of its source image
+    src = np.asarray(imgs)
+    for b in range(8):
+        found = any(
+            np.array_equal(out[b], src[b, y : y + 8, x : x + 8])
+            for y in range(5)
+            for x in range(5)
+        )
+        assert found, b

@@ -91,6 +91,7 @@ def main(argv=None):
         tb_dir=args.tb_dir,
         profile_dir=args.profile_dir,
         profile_epoch=args.profile_epoch,
+        device_data=(args.data_pipeline == "device"),
     )
     if args.resume is not None:
         resume = int(args.resume) if str(args.resume).isdigit() else args.resume
