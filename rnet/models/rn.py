@@ -81,9 +81,10 @@ class RN(nn.Module):
         if train and cfg.device_augment:
             from ..data.augment import random_rotate_batch
 
-            x = random_rotate_batch(
-                x.astype(jnp.float32), self.make_rng("dropout")
-            ).astype(jnp.dtype(cfg.compute_dtype))
+            # rotation runs in the compute dtype: the shear weights are exact
+            # in bf16 to ~3 decimal digits, plenty for [0,1] pixel data, and
+            # the rolls are memory-bound (half the traffic vs fp32)
+            x = random_rotate_batch(x, self.make_rng("dropout"))
         feats = self.conv(x, train=train)  # (B, g, g, C)
         B, g, _, C = feats.shape
         objs = feats.reshape(B, g * g, C)

@@ -180,3 +180,23 @@ def test_random_crop_batch_group_offsets():
             for x in range(5)
         )
         assert found, b
+
+
+def test_rotate_shear_bf16_tracks_oracle():
+    """The default compute dtype is bf16 — pin the bf16 shear numerics."""
+    from rnet.data.augment import rotate_shear_batch
+
+    y, x = np.mgrid[0:128, 0:128]
+    base = (np.exp(-((x - 80) ** 2 + (y - 48) ** 2) / 400.0) + x / 256.0).astype(
+        np.float32
+    )
+    img = np.stack([np.stack([base] * 3, -1)])
+    ref = np.asarray(rotate_bilinear(jnp.asarray(img[0]), jnp.float32(0.045)))
+    out = np.asarray(
+        rotate_shear_batch(
+            jnp.asarray(img, jnp.bfloat16), jnp.asarray([0.045], jnp.bfloat16)
+        ).astype(jnp.float32)
+    )[0]
+    m = 6
+    diff = np.abs(out[m:-m, m:-m] - ref[m:-m, m:-m])
+    assert float(diff.mean()) < 0.02, float(diff.mean())
