@@ -70,13 +70,14 @@ def get_torch_baseline() -> float:
 
 
 def _bench_setup(rl_impl: str, batch_size: int):
+    """(cfg, model, optimizer, state, batch) for the flagship fp model."""
     import jax
     import jax.numpy as jnp
 
     from rnet.config import load_config
     from rnet.models import RN
     from rnet.train.loop import make_injected_optimizer
-    from rnet.train.steps import create_train_state, make_jitted_steps
+    from rnet.train.steps import create_train_state
 
     cfg = load_config("original-fp", overrides={"rl_impl": rl_impl})
     model = RN(cfg=cfg, vocab_size=90)
@@ -90,8 +91,7 @@ def _bench_setup(rl_impl: str, batch_size: int):
         "answer": jax.random.randint(rng, (batch_size,), 0, 28, jnp.int32),
     }
     state = create_train_state(model, cfg, opt, rng, batch)
-    jit_train, jit_eval = make_jitted_steps(model, cfg, opt, donate=True)
-    return state, batch, jit_train, jit_eval
+    return cfg, model, opt, state, batch
 
 
 def measure_train_qps(rl_impl: str, batch_size: int) -> float:
@@ -102,16 +102,10 @@ def measure_train_qps(rl_impl: str, batch_size: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    from rnet.config import load_config
-    from rnet.models import RN
-    from rnet.train.loop import make_injected_optimizer
     from rnet.train.steps import train_step
     from rnet.utils.timing import device_loop_time
 
-    cfg = load_config("original-fp", overrides={"rl_impl": rl_impl})
-    model = RN(cfg=cfg, vocab_size=90)
-    opt = make_injected_optimizer(1e-4, clip_norm=50.0)
-    state, batch, _, _ = _bench_setup(rl_impl, batch_size)
+    cfg, model, opt, state, batch = _bench_setup(rl_impl, batch_size)
     step = partial(train_step, model=model, cfg=cfg, optimizer=opt)
 
     @partial(jax.jit, static_argnums=(2,))
@@ -136,14 +130,7 @@ def measure_infer_qps(rl_impl: str, batch_size: int) -> float:
     from rnet.train.steps import eval_step
     from rnet.utils.timing import device_loop_time
 
-    state, batch, _, jit_eval = _bench_setup(rl_impl, batch_size)
-
-    # retrieve model/cfg from setup again (cheap)
-    from rnet.config import load_config
-    from rnet.models import RN
-
-    cfg = load_config("original-fp", overrides={"rl_impl": rl_impl})
-    model = RN(cfg=cfg, vocab_size=90)
+    cfg, model, _, state, batch = _bench_setup(rl_impl, batch_size)
     es = partial(eval_step, model=model, cfg=cfg)
 
     @partial(jax.jit, static_argnums=(2,))

@@ -34,7 +34,7 @@ def main(argv=None):
     import numpy as np
 
     from rnet.cli import config_from_args, load_dicts
-    from rnet.data.clevr import ClevrDatasetStateDescription, ClevrImageDataset
+    from rnet.data.clevr import ClevrImageDataset
     from rnet.data.pipeline import BatchIterator, prefetch_to_device
     from rnet.models import RN
     from rnet.train.checkpoint import CheckpointManager, import_weights
@@ -55,12 +55,29 @@ def main(argv=None):
 
     model = RN(cfg=cfg, vocab_size=dicts.vocab_size)
     if cfg.state_description:
-        ds = ClevrDatasetStateDescription(
-            args.clevr_dir, args.split, dicts,
-            max_objects=cfg.max_objects, object_dim=cfg.object_dim,
-            question_max_len=cfg.question_max_len,
+        # one feature row per IMAGE: vectorize scenes directly (the question
+        # dataset would repeat each image ~10x)
+        import json as _json
+
+        from rnet.data.clevr import scene_to_objects
+
+        with open(
+            os.path.join(args.clevr_dir, "scenes", f"CLEVR_{args.split}_scenes.json")
+        ) as f:
+            scenes = _json.load(f)["scenes"]
+        names = [s["image_filename"] for s in scenes]
+        objs = np.stack(
+            [scene_to_objects(s["objects"], cfg.max_objects, cfg.object_dim) for s in scenes]
         )
-        names = [q["image_filename"] for q in ds.questions]
+
+        class _SceneDataset:
+            def __len__(self_inner):
+                return len(scenes)
+
+            def __getitem__(self_inner, i, rng=None):
+                return {"objects": objs[i], "index": np.int32(i)}
+
+        ds = _SceneDataset()
     else:
         ds = ClevrImageDataset(args.clevr_dir, args.split, image_size=cfg.image_size)
         names = list(ds.files)
@@ -88,7 +105,8 @@ def main(argv=None):
     def extract(inputs):
         return model.apply(variables, inputs, method=RN.extract)
 
-    feats, order = [], []
+    feats = []
+    order = []
     it = BatchIterator(ds, args.batch_size, drop_last=False, invert=False,
                        num_threads=args.num_workers)
     for batch in prefetch_to_device(iter(it)):
@@ -100,6 +118,8 @@ def main(argv=None):
             order.extend(np.asarray(batch["index"])[valid].tolist())
 
     features = np.concatenate(feats, axis=0)
+    if order:  # feature rows must align with `names`
+        assert order == sorted(order), "extraction batches arrived out of order"
     os.makedirs(args.features_dirs, exist_ok=True)
     out_pkl = os.path.join(args.features_dirs, f"{cfg.name}_{args.split}_gfeatures.pkl")
     with open(out_pkl, "wb") as f:

@@ -117,10 +117,17 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
 
 
 def build_datasets(
-    args: argparse.Namespace, cfg: ModelConfig, dicts: Dictionaries, splits=("train", "val")
+    args: argparse.Namespace,
+    cfg: ModelConfig,
+    dicts: Dictionaries,
+    splits=("train", "val"),
+    eval_only: bool = False,
 ) -> Dict[str, Any]:
+    """eval_only forces the deterministic eval transform for every split
+    (accuracy on --split train must not be measured under augmentation)."""
     out = {}
     for split in splits:
+        train_tf = (split == "train") and not eval_only
         if cfg.state_description:
             out[split] = ClevrDatasetStateDescription(
                 args.clevr_dir,
@@ -139,7 +146,7 @@ def build_datasets(
                 dicts,
                 image_size=cfg.image_size,
                 question_max_len=cfg.question_max_len,
-                train_transform=(split == "train"),
+                train_transform=train_tf,
                 # with device_augment the crop ALSO moves on device: ship
                 # padded images so batch assembly is one gather
                 serve_padded=cfg.device_augment,
@@ -152,7 +159,7 @@ def build_datasets(
                 dicts,
                 image_size=cfg.image_size,
                 question_max_len=cfg.question_max_len,
-                train_transform=(split == "train"),
+                train_transform=train_tf,
                 # rotation happens on device when device_augment is on —
                 # don't rotate twice
                 max_rot_deg=0.0 if cfg.device_augment else 2.8,

@@ -53,17 +53,20 @@ class ImageTransform:
         img = img.convert("RGB").resize((self.size, self.size), Image.BILINEAR)
         if self.train:
             rng = rng or random
-            if self.max_rot > 0:
-                img = img.rotate(
-                    rng.uniform(-self.max_rot, self.max_rot),
-                    resample=Image.BILINEAR,
-                )
             p = self.pad
             arr = np.asarray(img, dtype=np.uint8)
             arr = np.pad(arr, ((p, p), (p, p), (0, 0)), mode="edge")
             x0 = rng.randint(0, 2 * p)
             y0 = rng.randint(0, 2 * p)
             arr = arr[y0 : y0 + self.size, x0 : x0 + self.size]
+            if self.max_rot > 0:  # rotation LAST, as in the reference chain
+                arr = np.asarray(
+                    Image.fromarray(arr).rotate(
+                        rng.uniform(-self.max_rot, self.max_rot),
+                        resample=Image.BILINEAR,
+                    ),
+                    dtype=np.uint8,
+                )
             return arr
         return np.asarray(img, dtype=np.uint8)
 

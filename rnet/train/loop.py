@@ -104,7 +104,9 @@ class Trainer:
             return None
 
         self.train_cache = _device_cache(train_ds)
-        self.val_cache = _device_cache(val_ds)
+        self.val_cache = (
+            self.train_cache if val_ds is train_ds else _device_cache(val_ds)
+        )
 
         # device-resident per-question data + chunked multi-step dispatch:
         # the whole epoch's tokens/answers/(objects|image indices) live in
@@ -131,7 +133,9 @@ class Trainer:
                 return jax.device_put(arrs, pmesh.replicated(self.mesh))
 
             self.train_data = _prep(train_ds)
-            self.val_data = _prep(val_ds)
+            self.val_data = (
+                self.train_data if val_ds is train_ds else _prep(val_ds)
+            )
 
         # init on a sample batch (static shapes fixed by config maxima)
         bs0 = bs.int_value(1)
@@ -161,6 +165,25 @@ class Trainer:
 
     # ---- resume ----
 
+    def restore_weights(self, path_or_epoch) -> int:
+        """params/batch_stats only (eval/inference; optimizer tree ignored)."""
+        self.state = pmesh.replicate_state(
+            self.ckpt.restore_weights(
+                jax.tree.map(np.asarray, self.state), path_or_epoch
+            ),
+            self.mesh,
+        )
+        self.epoch = self._epoch_of(path_or_epoch)
+        return self.epoch
+
+    def _epoch_of(self, path_or_epoch) -> int:
+        if isinstance(path_or_epoch, int):
+            return path_or_epoch
+        import re
+
+        m = re.search(r"_epoch_(\d+)", str(path_or_epoch))
+        return int(m.group(1)) if m else 0
+
     def resume(self, path_or_epoch) -> int:
         self.state = pmesh.replicate_state(
             self.ckpt.restore(
@@ -168,13 +191,7 @@ class Trainer:
             ),
             self.mesh,
         )
-        if isinstance(path_or_epoch, int):
-            self.epoch = path_or_epoch
-        else:  # parse trailing _epoch_NNN
-            import re
-
-            m = re.search(r"_epoch_(\d+)", str(path_or_epoch))
-            self.epoch = int(m.group(1)) if m else 0
+        self.epoch = self._epoch_of(path_or_epoch)
         return self.epoch
 
     # ---- epochs ----
@@ -197,7 +214,10 @@ class Trainer:
         C = max(1, self.log_interval)
         t0 = time.time()
         all_ms = []
-        with self.mesh, pmesh.pair_sharding(self.mesh):
+        from ..utils.profiling import profile_trace
+
+        prof_dir = self.profile_dir if epoch == self.profile_epoch else None
+        with self.mesh, pmesh.pair_sharding(self.mesh), profile_trace(prof_dir):
             for c0 in range(0, nb, C):
                 idx = jax.device_put(order[c0 : c0 + C], self._idx_sharding())
                 self.state, ms = self.jit_train_chunk(

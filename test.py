@@ -40,12 +40,15 @@ def main(argv=None):
     apply_platform(args)
     dicts = load_dicts(args)
     cfg = config_from_args(args, dicts)
-    ds = build_datasets(args, cfg, dicts, splits=("train", args.split))
+    # eval only needs the requested split (deterministic transform: no
+    # augmentation even for --split train) — avoids decoding/uploading the
+    # train split just to build the model skeleton.
+    ds = build_datasets(args, cfg, dicts, splits=(args.split,), eval_only=True)
 
     trainer = Trainer(
         cfg,
         dicts.vocab_size,
-        ds["train"],
+        ds[args.split],
         ds[args.split],
         dicts,
         lr=DoublingSchedule(1e-4),
@@ -56,12 +59,15 @@ def main(argv=None):
         mesh_spec=args.mesh,
         checkpoint_dir=args.checkpoint_dir,
         log_interval=args.log_interval,
+        device_data=(args.data_pipeline == "device"),
     )
     if str(args.checkpoint).endswith(".pkl"):
         trainer.state = import_weights(trainer.state, args.checkpoint)
     else:
         ckpt = int(args.checkpoint) if str(args.checkpoint).isdigit() else args.checkpoint
-        trainer.resume(ckpt)
+        # weights-only restore: eval never needs optimizer moments, and the
+        # checkpoint's optimizer tree may differ from this skeleton's
+        trainer.restore_weights(ckpt)
 
     stats = trainer.eval_epoch(trainer.epoch, batch_size=args.batch_size)
     acc = stats.pop("_accumulator")
