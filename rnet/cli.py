@@ -53,10 +53,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--rl-impl",
-        choices=["auto", "naive", "xla", "pallas"],
+        choices=["auto", "naive", "xla", "pallas", "pallas_int8"],
         default=None,
         dest="rl_impl",
-        help="pairwise-core implementation (default: auto)",
+        help="pairwise-core implementation (default: auto; pallas_int8 = "
+        "int8-MXU inference quantization, eval only)",
     )
     p.add_argument(
         "--mesh",

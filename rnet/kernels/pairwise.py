@@ -187,6 +187,94 @@ def _bwd_kernel(
     du_ref[0] = du_acc
 
 
+def _fwd_kernel_int8(
+    u_ref, v_ref, s_ref, qa_ref, w8_ref, wscale_ref, b_ref, out_ref,
+    *, L, inject, TI, TJ, nj,
+):
+    """Int8 inference variant: the g-chain matmuls run on the int8 MXU.
+
+    Weights are pre-quantized per layer (symmetric, per-tensor scale);
+    activations quantize dynamically per tile (relu output >= 0, so the
+    scale is just max/127). Dequantization folds into the bias add.
+    """
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    u = u_ref[0]
+    s = s_ref[0, 0]
+    acc = jnp.zeros((out_ref.shape[-1],), _F32)
+    for jt in range(nj // TJ):
+        vblk = v_ref[0, jt * TJ : (jt + 1) * TJ, :]
+        pre0 = (
+            u[:, None, :].astype(_F32)
+            + vblk[None, :, :].astype(_F32)
+            + s[None, None, :].astype(_F32)
+        )
+        a = jax.nn.relu(pre0).reshape(TI * TJ, u.shape[-1])  # f32
+        for l in range(1, L):
+            amax = jnp.maximum(jnp.max(a), 1e-6)
+            a8 = jnp.minimum(a * (127.0 / amax) + 0.5, 127.0).astype(jnp.int8)
+            acc32 = jax.lax.dot_general(
+                a8, w8_ref[l - 1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scale = (amax / 127.0) * wscale_ref[l - 1, 0]
+            pre = acc32.astype(_F32) * scale + b_ref[l - 1][None, :].astype(_F32)
+            if l == inject:
+                pre = pre + qa_ref[0, 0][None, :].astype(_F32)
+            a = jax.nn.relu(pre)
+        acc = acc + jnp.sum(a, axis=0)
+    out_ref[0, 0] += acc
+
+
+def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
+    B, ni, H = u.shape
+    nj = v.shape[1]
+    L = ws.shape[0] + 1
+    TI, TJ = _tiles(ni, nj)
+    # symmetric per-layer weight quantization (host-free, traced)
+    sw = jnp.maximum(jnp.max(jnp.abs(ws), axis=(1, 2)), 1e-9)  # (L-1,)
+    w8 = jnp.clip(
+        jnp.round(ws.astype(_F32) / sw[:, None, None] * 127.0), -127, 127
+    ).astype(jnp.int8)
+    wscale = (sw / 127.0).astype(_F32)[:, None]  # (L-1, 1)
+    kern = functools.partial(
+        _fwd_kernel_int8, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B, ni // TI),
+        in_specs=[
+            pl.BlockSpec((1, TI, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, H, H), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L - 1, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, H), _F32),
+        interpret=interpret,
+    )(u, v, s[:, None, :], qa[:, None, :], w8, wscale, bs)
+    return out[:, 0, :]
+
+
+def pairwise_core_int8(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = False):
+    """Int8 inference path (no VJP). Falls back to the reference off-TPU."""
+    B, ni, H = u.shape
+    L = ws.shape[0] + 1
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or interpret) and _supported(ni, v.shape[1], H, L):
+        return jax.lax.stop_gradient(
+            _fwd_pallas_int8(u, v, s, qa, ws, bs, inject, interpret)
+        )
+    return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -445,6 +533,7 @@ def fused_pairwise_g(
     mesh=None,
     pair_keep: float = 1.0,
     seed=None,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """Pooled g_theta over all object pairs; (B, g_out) fp32.
 
@@ -476,6 +565,8 @@ def fused_pairwise_g(
             bs_list.append(gb[l].astype(dt))
         ws = jnp.stack(ws_list)
         bs = jnp.stack(bs_list)
+    if int8 and mesh is None:
+        return pairwise_core_int8(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
     if mesh is not None:
         return pairwise_core_sharded(
             u, v, s, qa, ws, bs,

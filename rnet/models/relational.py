@@ -152,6 +152,9 @@ class RelationalLayer(nn.Module):
     ) -> jnp.ndarray:
         pair_do = train and self.pair_dropout > 0.0
         impl = self._resolve_impl(x.shape[1])
+        use_int8 = impl == "pallas_int8" and not train  # inference-only path
+        if impl == "pallas_int8":
+            impl = "pallas"
         x = x.astype(self.dtype)
         q = q.astype(self.dtype)
         if impl == "naive":
@@ -177,6 +180,7 @@ class RelationalLayer(nn.Module):
                 mesh=active_mesh(),
                 pair_keep=1.0 - (self.pair_dropout if pair_do else 0.0),
                 seed=seed,
+                int8=use_int8,
             )
         else:
             raise ValueError(f"unknown relational impl {impl!r}")

@@ -177,3 +177,17 @@ def test_pair_dropout_in_kernel_tpu():
     )(args[0])
     gr = jax.grad(lambda u: (ref_masked(u, *args[1:]) * r).sum())(args[0])
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="int8 MXU path needs real TPU"
+)
+def test_int8_inference_path_tpu():
+    from rnet.kernels.pairwise import pairwise_core_int8
+
+    B, n, H, L = 8, 64, 256, 4
+    args = _inputs(B, n, H, L, inject=0)
+    ref = pairwise_core_reference(*args, inject=0)
+    o8 = pairwise_core_int8(*args, inject=0)
+    rel = float(jnp.abs(o8 - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.03, rel  # symmetric per-tensor int8 quantization error
