@@ -220,6 +220,9 @@ def _fwd_kernel_int8(
             acc32 = jax.lax.dot_general(
                 a8, w8_ref[l - 1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
+                # pin: a global jax_default_matmul_precision=highest request
+                # has no int8 lowering in Mosaic
+                precision=jax.lax.Precision.DEFAULT,
             )
             scale = (amax / 127.0) * wscale_ref[l - 1, 0]
             pre = acc32.astype(_F32) * scale + b_ref[l - 1][None, :].astype(_F32)

@@ -10,9 +10,12 @@ everything to CPU. Set RNET_TEST_TPU=1 to run the suite on the real chip.
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+if not os.environ.get("RNET_TEST_TPU"):
+    # virtual multi-device CPU platform (never leak this into the TPU
+    # compile helper — it breaks remote compilation)
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
 
 import jax
 
