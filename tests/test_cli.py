@@ -136,3 +136,25 @@ def test_extract_cli_rejects_non_ir(fixture_dir, tmp_path):
         ]
     )
     assert rc == 2
+
+
+def test_train_cli_resume_latest(trained, fixture_dir, tmp_path):
+    """--resume latest picks the newest checkpoint (crash recovery story)."""
+    results = str(tmp_path / "results_latest")
+    rc = train_cli.main(
+        [
+            "--clevr-dir", fixture_dir,
+            "--model", "original-sd",
+            "--epochs", "5",
+            "--batch-size", "16",
+            "--precision", "float32",
+            "--checkpoint-dir", trained["ckpt_dir"],
+            "--test-results-dir", results,
+            "--resume", "latest",
+            "--log-interval", "100",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(results, "history.json")) as f:
+        hist = json.load(f)
+    assert hist[0]["epoch"] >= 3  # continued from epoch >= 2

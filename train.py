@@ -32,7 +32,11 @@ def parse_args(argv=None):
     p.add_argument("--bs-max", type=int, default=None)
     p.add_argument("--clip-norm", type=float, default=50.0)
     p.add_argument("--weight-decay", type=float, default=0.0)
-    p.add_argument("--resume", default=None, help="checkpoint path or epoch number")
+    p.add_argument(
+        "--resume",
+        default=None,
+        help="checkpoint path, epoch number, or 'latest' (crash recovery)",
+    )
     p.add_argument("--checkpoint-dir", default="model")
     p.add_argument("--test-results-dir", default=None)
     p.add_argument("--eval-every", type=int, default=1)
@@ -94,9 +98,18 @@ def main(argv=None):
         device_data=(args.data_pipeline == "device"),
     )
     if args.resume is not None:
-        resume = int(args.resume) if str(args.resume).isdigit() else args.resume
-        epoch = trainer.resume(resume)
-        print(f"resumed from {args.resume} (epoch {epoch})")
+        if str(args.resume) == "latest":
+            latest = trainer.ckpt.latest_epoch()
+            if latest is None:
+                print("no checkpoint found for --resume latest; starting fresh")
+                resume = None
+            else:
+                resume = latest
+        else:
+            resume = int(args.resume) if str(args.resume).isdigit() else args.resume
+        if resume is not None:
+            epoch = trainer.resume(resume)
+            print(f"resumed from {args.resume} (epoch {epoch})")
 
     history = trainer.fit(
         args.epochs,
