@@ -14,3 +14,24 @@ over a `jax.sharding.Mesh` with ICI gradient allreduce.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import rnet` free of jax initialization)
+    if name == "RN":
+        from .models import RN
+
+        return RN
+    if name in ("ModelConfig", "load_config", "list_models"):
+        from . import config as _config
+
+        return getattr(_config, name)
+    if name == "Trainer":
+        from .train.loop import Trainer
+
+        return Trainer
+    if name == "build_dictionaries":
+        from .data.vocab import build_dictionaries
+
+        return build_dictionaries
+    raise AttributeError(name)
