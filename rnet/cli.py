@@ -34,6 +34,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         help="reverse question token order (default on, as in the reference)",
     )
     p.add_argument("--no-invert-questions", dest="invert", action="store_false")
+    p.add_argument(
+        "--oov",
+        choices=["error", "unk", "drop"],
+        default="error",
+        help="out-of-vocabulary question words: error (reference KeyError "
+        "behavior, default), unk (dedicated trainable index), drop (skip)",
+    )
     # config overrides
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument(
@@ -169,4 +176,4 @@ def build_datasets(
 
 
 def load_dicts(args: argparse.Namespace) -> Dictionaries:
-    return build_dictionaries(args.clevr_dir)
+    return build_dictionaries(args.clevr_dir, oov=getattr(args, "oov", "error"))

@@ -22,6 +22,7 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
+from .clevr import _QuestionCategoriesMixin
 from .vocab import Dictionaries
 
 
@@ -66,7 +67,7 @@ def build_image_cache(
     return arr_path
 
 
-class CachedClevrDataset:
+class CachedClevrDataset(_QuestionCategoriesMixin):
     """From-pixels CLEVR served from the decoded cache.
 
     Two serving modes:

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
+from .categories import category_ids
 from .vocab import (
     CLEVR_COLORS,
     CLEVR_MATERIALS,
@@ -30,6 +31,16 @@ from .vocab import (
     CLEVR_SIZES,
     Dictionaries,
 )
+
+
+class _QuestionCategoriesMixin:
+    """Lazy per-question category ids (reference test.py family reporting)."""
+
+    def question_categories(self) -> np.ndarray:
+        cached = getattr(self, "_qcat", None)
+        if cached is None:
+            cached = self._qcat = category_ids(self.questions)
+        return cached
 
 # --- image transforms (host side, PIL + numpy) ---
 
@@ -74,7 +85,7 @@ class ImageTransform:
 # --- datasets ---
 
 
-class ClevrDataset:
+class ClevrDataset(_QuestionCategoriesMixin):
     """From-pixels CLEVR: (image uint8 HWC, question ids, answer idx)."""
 
     def __init__(
@@ -131,7 +142,7 @@ def scene_to_objects(objects: List[Dict], max_objects: int, object_dim: int = 18
     return out
 
 
-class ClevrDatasetStateDescription:
+class ClevrDatasetStateDescription(_QuestionCategoriesMixin):
     """State-description CLEVR: (objects (N,18), n_objects, question, answer).
 
     Padding objects are zero vectors that DO participate in pairs, matching

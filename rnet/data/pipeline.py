@@ -103,6 +103,9 @@ class BatchIterator:
                     batch["question"] = invert_questions(batch["question"])
                 if not self.drop_last:
                     batch["valid"] = valid
+                    # dataset-relative sample indices: lets eval reporting map
+                    # predictions back to question metadata (category table)
+                    batch["index"] = np.asarray(idxs, dtype=np.int32)
                 yield batch
 
 

@@ -86,23 +86,29 @@ def _random_scene(rng: random.Random, n_min: int = 3, n_max: int = 6) -> List[Di
     return objs
 
 
-def _make_questions(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str]]:
-    """Template questions with answers computed from the scene."""
-    qs: List[Tuple[str, str]] = []
+def _make_questions(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str, str]]:
+    """Template (question, answer, final_program_function) computed from the scene.
+
+    Covers all five CLEVR question families (count / exist / compare-numbers /
+    query-attribute / compare-attribute) so per-category eval reporting has
+    every row populated; the final program function is emitted into the
+    questions JSON like real CLEVR (rnet.data.categories classifies by it).
+    """
+    qs: List[Tuple[str, str, str]] = []
 
     color = rng.choice(CLEVR_COLORS)
     count = sum(o["color"] == color for o in objs)
-    qs.append((f"How many {color} things are there?", str(count)))
+    qs.append((f"How many {color} things are there?", str(count), "count"))
 
     shape = rng.choice(CLEVR_SHAPES)
     exist = any(o["shape"] == shape for o in objs)
-    qs.append((f"Is there a {shape} in the scene?", "yes" if exist else "no"))
+    qs.append((f"Is there a {shape} in the scene?", "yes" if exist else "no", "exist"))
 
     # query-attribute on a uniquely-colored object, when one exists
     for o in objs:
         if sum(p["color"] == o["color"] for p in objs) == 1:
             attr = rng.choice(["shape", "material", "size"])
-            qs.append((f"What {attr} is the {o['color']} thing?", o[attr]))
+            qs.append((f"What {attr} is the {o['color']} thing?", o[attr], f"query_{attr}"))
             break
 
     c1, c2 = rng.sample(list(CLEVR_COLORS), 2)
@@ -112,14 +118,28 @@ def _make_questions(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str
         (
             f"Are there more {c1} things than {c2} things?",
             "yes" if n1 > n2 else "no",
+            "greater_than",
         )
     )
 
     # query color of a uniquely-shaped object
     for o in objs:
         if sum(p["shape"] == o["shape"] for p in objs) == 1:
-            qs.append((f"What color is the {o['shape']}?", o["color"]))
+            qs.append((f"What color is the {o['shape']}?", o["color"], "query_color"))
             break
+
+    # compare-attribute between two uniquely-colored objects
+    uniq = [o for o in objs if sum(p["color"] == o["color"] for p in objs) == 1]
+    if len(uniq) >= 2:
+        a, b = rng.sample(uniq, 2)
+        attr = rng.choice(["shape", "material", "size"])
+        qs.append(
+            (
+                f"Is the {a['color']} thing the same {attr} as the {b['color']} thing?",
+                "yes" if a[attr] == b[attr] else "no",
+                f"equal_{attr}",
+            )
+        )
     return qs
 
 
@@ -159,7 +179,7 @@ def generate(
                     "directions": {},
                 }
             )
-            for q, a in _make_questions(rng, objs):
+            for q, a, fn in _make_questions(rng, objs):
                 questions.append(
                     {
                         "split": split,
@@ -169,7 +189,7 @@ def generate(
                         "answer": a,
                         "question_index": len(questions),
                         "question_family_index": 0,
-                        "program": [],
+                        "program": [{"function": fn, "inputs": [], "value_inputs": []}],
                     }
                 )
 
@@ -179,14 +199,19 @@ def generate(
             # built from train only, as in the reference).
             present = {q["answer"] for q in questions}
             templates = {
-                **{n: f"How many things are there exactly {n}?" for n in map(str, range(11))},
-                **{b: f"Is there anything at all {b}?" for b in ("yes", "no")},
-                **{c: f"What color is the thing that is {c}?" for c in CLEVR_COLORS},
-                **{s: f"What shape is the thing that is a {s}?" for s in CLEVR_SHAPES},
-                **{m: f"What material is the thing made of {m}?" for m in CLEVR_MATERIALS},
-                **{s: f"What size is the thing that is {s}?" for s in CLEVR_SIZES},
+                **{n: (f"How many things are there exactly {n}?", "count")
+                   for n in map(str, range(11))},
+                **{b: (f"Is there anything at all {b}?", "exist") for b in ("yes", "no")},
+                **{c: (f"What color is the thing that is {c}?", "query_color")
+                   for c in CLEVR_COLORS},
+                **{s: (f"What shape is the thing that is a {s}?", "query_shape")
+                   for s in CLEVR_SHAPES},
+                **{m: (f"What material is the thing made of {m}?", "query_material")
+                   for m in CLEVR_MATERIALS},
+                **{s: (f"What size is the thing that is {s}?", "query_size")
+                   for s in CLEVR_SIZES},
             }
-            for ans, qtext in templates.items():
+            for ans, (qtext, fn) in templates.items():
                 if ans not in present:
                     questions.append(
                         {
@@ -197,7 +222,7 @@ def generate(
                             "answer": ans,
                             "question_index": len(questions),
                             "question_family_index": 999,
-                            "program": [],
+                            "program": [{"function": fn, "inputs": [], "value_inputs": []}],
                         }
                     )
 

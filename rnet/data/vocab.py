@@ -59,18 +59,40 @@ def tokenize(sentence: str) -> List[str]:
 
 
 class Dictionaries:
-    """word->idx (1-based; 0=pad) and answer->idx maps + inverses."""
+    """word->idx (1-based; 0=pad) and answer->idx maps + inverses.
 
-    def __init__(self, word_to_idx: Dict[str, int], answer_to_idx: Dict[str, int]):
+    ``oov`` sets the policy for question words absent from the train vocab:
+      * "error" (default): raise KeyError — the reference's
+        ``to_dictionary_indexes`` behavior (SURVEY.md 2.6; the CLEVR vocab is
+        closed over train, so this never fires on the real dataset);
+      * "unk": map to a dedicated trainable UNK index (vocab_size grows by 1);
+      * "drop": silently skip the token.
+    """
+
+    OOV_POLICIES = ("error", "unk", "drop")
+
+    def __init__(
+        self,
+        word_to_idx: Dict[str, int],
+        answer_to_idx: Dict[str, int],
+        oov: str = "error",
+    ):
+        if oov not in self.OOV_POLICIES:
+            raise ValueError(f"oov must be one of {self.OOV_POLICIES}, got {oov!r}")
         self.word_to_idx = word_to_idx
         self.answer_to_idx = answer_to_idx
+        self.oov = oov
         self.idx_to_word = {v: k for k, v in word_to_idx.items()}
         self.idx_to_answer = {v: k for k, v in answer_to_idx.items()}
 
     @property
+    def unk_id(self) -> int | None:
+        return len(self.word_to_idx) + 1 if self.oov == "unk" else None
+
+    @property
     def vocab_size(self) -> int:
-        # +1 for the padding index 0.
-        return len(self.word_to_idx) + 1
+        # +1 for the padding index 0 (+1 more for UNK under oov="unk").
+        return len(self.word_to_idx) + 1 + (1 if self.oov == "unk" else 0)
 
     @property
     def n_answers(self) -> int:
@@ -78,7 +100,13 @@ class Dictionaries:
 
     def encode_question(self, question: str, max_len: int | None = None) -> np.ndarray:
         """Tokenize + map to int32 ids; optionally pad/truncate to max_len."""
-        ids = [self.word_to_idx[w] for w in tokenize(question) if w in self.word_to_idx]
+        if self.oov == "drop":
+            ids = [self.word_to_idx[w] for w in tokenize(question) if w in self.word_to_idx]
+        elif self.oov == "unk":
+            unk = self.unk_id
+            ids = [self.word_to_idx.get(w, unk) for w in tokenize(question)]
+        else:  # "error": reference to_dictionary_indexes semantics
+            ids = [self.word_to_idx[w] for w in tokenize(question)]
         if max_len is not None:
             ids = ids[:max_len] + [PAD_ID] * max(0, max_len - len(ids))
         return np.asarray(ids, dtype=np.int32)
@@ -95,7 +123,9 @@ def _cache_path(clevr_dir: str) -> str:
     return os.path.join(clevr_dir, "rnet_dictionaries.pkl")
 
 
-def build_dictionaries(clevr_dir: str, use_cache: bool = True) -> Dictionaries:
+def build_dictionaries(
+    clevr_dir: str, use_cache: bool = True, oov: str = "error"
+) -> Dictionaries:
     """Scan the train questions JSON once; cache the result as a pickle.
 
     Reference parity: utils.build_dictionaries (SURVEY.md section 3.5) —
@@ -106,7 +136,7 @@ def build_dictionaries(clevr_dir: str, use_cache: bool = True) -> Dictionaries:
     if use_cache and os.path.exists(cache):
         with open(cache, "rb") as f:
             word_to_idx, answer_to_idx = pickle.load(f)
-        return Dictionaries(word_to_idx, answer_to_idx)
+        return Dictionaries(word_to_idx, answer_to_idx, oov=oov)
 
     qpath = os.path.join(clevr_dir, "questions", "CLEVR_train_questions.json")
     with open(qpath) as f:
@@ -128,7 +158,7 @@ def build_dictionaries(clevr_dir: str, use_cache: bool = True) -> Dictionaries:
                 pickle.dump((word_to_idx, answer_to_idx), f)
         except OSError:
             pass  # read-only data dir: skip caching
-    return Dictionaries(word_to_idx, answer_to_idx)
+    return Dictionaries(word_to_idx, answer_to_idx, oov=oov)
 
 
 def invert_questions(q: np.ndarray) -> np.ndarray:

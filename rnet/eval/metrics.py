@@ -1,37 +1,55 @@
-"""Evaluation metrics: overall / per-answer-class accuracy, confusion matrix.
+"""Evaluation metrics: overall / per-answer-class / per-question-category
+accuracy, confusion matrix.
 
 Reference parity (SURVEY.md 3.2, reference test.py): accumulate per-answer
-hits grouped into CLEVR classes (count / exist / compare / query-attribute),
-dump a confusion matrix and per-class accuracy into --test-results-dir.
+hits grouped into CLEVR classes, report accuracy grouped by question family
+(count / exist / compare-numbers / query-attribute / compare-attribute — the
+reference's test.py table shape), dump a confusion matrix and per-class
+accuracy into --test-results-dir.
 """
 
 from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..data.categories import QUESTION_CATEGORIES
 from ..data.vocab import Dictionaries, answer_class
 
 
 class EvalAccumulator:
-    """Streaming accumulator over eval batches (host side, numpy)."""
+    """Streaming accumulator over eval batches (host side, numpy).
 
-    def __init__(self, dicts: Dictionaries):
+    ``categories`` is an optional (n_questions,) int32 array mapping question
+    index -> QUESTION_CATEGORIES id (from ``dataset.question_categories()``);
+    when present and ``update`` receives the batch's question indices, the
+    reference-style per-question-family table is accumulated alongside the
+    answer-value confusion matrix.
+    """
+
+    def __init__(self, dicts: Dictionaries, categories: Optional[np.ndarray] = None):
         self.dicts = dicts
         n = dicts.n_answers
         self.confusion = np.zeros((n, n), dtype=np.int64)  # [true, pred]
+        self.categories = None if categories is None else np.asarray(categories)
+        self.cat_hits = np.zeros(len(QUESTION_CATEGORIES), dtype=np.int64)
+        self.cat_totals = np.zeros(len(QUESTION_CATEGORIES), dtype=np.int64)
         self.nll_sum = 0.0
         self.n = 0
 
-    def update(self, pred, labels, valid, nll_sum=0.0) -> None:
-        pred = np.asarray(pred)
-        labels = np.asarray(labels)
-        valid = np.asarray(valid)
-        for t, p in zip(labels[valid], pred[valid]):
-            self.confusion[t, p] += 1
+    def update(self, pred, labels, valid, nll_sum=0.0, qidx=None) -> None:
+        pred = np.asarray(pred).ravel()
+        labels = np.asarray(labels).ravel()
+        valid = np.asarray(valid).ravel().astype(bool)
+        t, p = labels[valid], pred[valid]
+        np.add.at(self.confusion, (t, p), 1)
+        if qidx is not None and self.categories is not None:
+            cat = self.categories[np.asarray(qidx).ravel()[valid]]
+            np.add.at(self.cat_totals, cat, 1)
+            np.add.at(self.cat_hits, cat[t == p], 1)
         self.nll_sum += float(nll_sum)
         self.n += int(valid.sum())
 
@@ -61,6 +79,19 @@ class EvalAccumulator:
             h[1] += int(self.confusion[i].sum())
         return {c: (h / t if t else float("nan")) for c, (h, t) in hits.items()}
 
+    def per_category_accuracy(self) -> Dict[str, float]:
+        """Accuracy per question family (reference test.py table shape).
+
+        Empty unless the accumulator was built with per-question categories
+        AND updates carried question indices. Families with zero questions
+        are omitted.
+        """
+        out = {}
+        for i, name in enumerate(QUESTION_CATEGORIES):
+            if self.cat_totals[i]:
+                out[name] = float(self.cat_hits[i]) / float(self.cat_totals[i])
+        return out
+
     # ---- report dumps (reference: csv + png into --test-results-dir) ----
 
     def dump(self, results_dir: str, tag: str = "val") -> Dict[str, str]:
@@ -73,6 +104,8 @@ class EvalAccumulator:
             w.writerow(["metric", "value"])
             w.writerow(["overall_accuracy", f"{self.accuracy:.6f}"])
             w.writerow(["mean_nll", f"{self.mean_nll:.6f}"])
+            for c, v in sorted(self.per_category_accuracy().items()):
+                w.writerow([f"category_{c}", f"{v:.6f}"])
             for c, v in sorted(self.per_class_accuracy().items()):
                 w.writerow([f"class_{c}", f"{v:.6f}"])
             for a, v in sorted(self.per_answer_accuracy().items()):

@@ -196,6 +196,11 @@ class Trainer:
 
     # ---- epochs ----
 
+    def _val_categories(self):
+        """Per-question category ids for reference-style family reporting."""
+        fn = getattr(self.val_ds, "question_categories", None)
+        return fn() if fn is not None else None
+
     def _idx_sharding(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -256,7 +261,7 @@ class Trainer:
         valid[:n] = True
         idx = idx.reshape(nb, bs)
         valid = valid.reshape(nb, bs)
-        acc = EvalAccumulator(self.dicts)
+        acc = EvalAccumulator(self.dicts, categories=self._val_categories())
         C = max(1, self.log_interval)
         t0 = time.time()
         with self.mesh, pmesh.pair_sharding(self.mesh):
@@ -270,7 +275,10 @@ class Trainer:
                     self.val_cache,
                 )
                 pred, label, vld, nll = (np.asarray(o) for o in outs)
-                acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum())
+                acc.update(
+                    pred.ravel(), label.ravel(), vld.ravel(), nll.sum(),
+                    qidx=idx[c0 : c0 + C].ravel(),
+                )
         dt = time.time() - t0
         self.log(
             f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "
@@ -354,7 +362,7 @@ class Trainer:
             bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
             return self._eval_epoch_device(epoch, bs)
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
-        acc = EvalAccumulator(self.dicts)
+        acc = EvalAccumulator(self.dicts, categories=self._val_categories())
         rank, world = jax.process_index(), jax.process_count()
         it = BatchIterator(
             self.val_ds,
@@ -380,6 +388,7 @@ class Trainer:
                     out["label"],
                     out["valid"],
                     out["nll_sum"],
+                    qidx=out.get("index"),
                 )
                 n += int(out["valid"].sum())
         dt = time.time() - t0

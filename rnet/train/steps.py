@@ -164,13 +164,16 @@ def eval_step(
     valid = batch.get("valid", jnp.ones_like(labels, dtype=bool))
     correct = (pred == labels) & valid
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-    return {
+    out = {
         "pred": pred,
         "label": labels,
         "correct": correct,
         "valid": valid,
         "nll_sum": (nll * valid).sum(),
     }
+    if "index" in batch:  # pass-through for per-question-category reporting
+        out["index"] = batch["index"]
+    return out
 
 
 def make_jitted_steps(model, cfg, optimizer, donate: bool = True):

@@ -73,6 +73,12 @@ def main(argv=None):
     acc = stats.pop("_accumulator")
     paths = acc.dump(args.test_results_dir, tag=args.split)
     print(f"overall accuracy: {acc.accuracy:.4f} | mean NLL: {acc.mean_nll:.4f}")
+    cat = acc.per_category_accuracy()
+    if cat:  # reference test.py table shape: accuracy per question family
+        print("per question category:")
+        for c, v in sorted(cat.items()):
+            print(f"  {c:18s}: {v:.4f}")
+    print("per answer class:")
     for cls, v in sorted(acc.per_class_accuracy().items()):
         print(f"  {cls:10s}: {v:.4f}")
     print(f"reports: {paths}")

@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +96,7 @@ def test_device_augment_in_rn(fixture_dir, dicts):
     assert out_tr.shape == (2, cfg.n_answers)
 
 
+@pytest.mark.slow
 def test_device_pipeline_serve_indices_train(fixture_dir, dicts, tmp_path):
     """End-to-end device-resident pipeline: only indices cross to the step."""
     import jax

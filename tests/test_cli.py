@@ -17,6 +17,10 @@ import extract as extract_cli
 import test as test_cli
 import train as train_cli
 
+# every test here trains a model through the CLI (or depends on the module
+# fixture that does) — run with `pytest -m slow` / `-m "slow or not slow"`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(fixture_dir, tmp_path_factory):
@@ -89,6 +93,10 @@ def test_test_cli(trained, fixture_dir, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(results, "val_accuracy.csv"))
     assert os.path.exists(os.path.join(results, "val_confusion.csv"))
+    with open(os.path.join(results, "val_accuracy.csv")) as f:
+        keys = {line.split(",")[0] for line in f}
+    # reference-style question-family rows (SURVEY.md 3.2)
+    assert any(k.startswith("category_") for k in keys), keys
 
 
 def test_extract_cli(fixture_dir, tmp_path):

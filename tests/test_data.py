@@ -142,3 +142,26 @@ def test_batch_iterator_shuffle_determinism(fixture_dir, dicts):
     c = [b["answer"] for b in BatchIterator(ds, 8, shuffle=True, seed=1, epoch=4)]
     assert all((x == y).all() for x, y in zip(a, b))
     assert any((x != y).any() for x, y in zip(a, c))
+
+
+def test_oov_policies():
+    """OOV knob: error (reference KeyError parity) / unk / drop."""
+    import pytest
+
+    from rnet.data.vocab import Dictionaries
+
+    words = {"what": 1, "color": 2, "is": 3}
+    answers = {"red": 0}
+    d_err = Dictionaries(words, answers)  # default policy
+    assert d_err.oov == "error"
+    with pytest.raises(KeyError):
+        d_err.encode_question("what color is zorp")
+
+    d_unk = Dictionaries(words, answers, oov="unk")
+    ids = d_unk.encode_question("what color is zorp")
+    assert list(ids) == [1, 2, 3, d_unk.unk_id]
+    assert d_unk.vocab_size == len(words) + 2  # pad + words + unk
+
+    d_drop = Dictionaries(words, answers, oov="drop")
+    assert list(d_drop.encode_question("what color is zorp")) == [1, 2, 3]
+    assert d_drop.vocab_size == len(words) + 1

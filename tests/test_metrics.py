@@ -65,3 +65,70 @@ def test_dump_files(tmp_path):
         lines = list(csv.reader(f))
     assert len(lines) == 1 + d.n_answers
     assert os.path.exists(paths.get("confusion_png", paths["confusion_csv"]))
+
+
+def test_question_category_classifier():
+    from rnet.data.categories import QUESTION_CATEGORIES, question_category
+
+    # program-based (real CLEVR shape)
+    assert question_category({"program": [{"function": "count"}]}) == "count"
+    assert question_category({"program": [{"function": "exist"}]}) == "exist"
+    assert question_category({"program": [{"function": "greater_than"}]}) == "compare_numbers"
+    assert question_category({"program": [{"function": "equal_integer"}]}) == "compare_numbers"
+    assert question_category({"program": [{"function": "query_material"}]}) == "query_attribute"
+    assert question_category({"program": [{"function": "equal_shape"}]}) == "compare_attribute"
+    # "type" key variant
+    assert question_category({"program": [{"type": "query_size"}]}) == "query_attribute"
+    # text fallback (no program)
+    assert question_category({"question": "How many red things are there?"}) == "count"
+    assert question_category({"question": "Is there a cube in the scene?"}) == "exist"
+    assert question_category({"question": "Are there more red things than blue things?"}) == "compare_numbers"
+    assert question_category({"question": "What material is the red thing?"}) == "query_attribute"
+    assert (
+        question_category({"question": "Is the red thing the same shape as the blue thing?"})
+        == "compare_attribute"
+    )
+    assert set(QUESTION_CATEGORIES) >= {
+        "count", "exist", "compare_numbers", "query_attribute", "compare_attribute",
+    }
+
+
+def test_per_category_accuracy():
+    from rnet.data.categories import QUESTION_CATEGORIES
+
+    d = _dicts()
+    cats = np.array(
+        [QUESTION_CATEGORIES.index("count"), QUESTION_CATEGORIES.index("count"),
+         QUESTION_CATEGORIES.index("exist"), QUESTION_CATEGORIES.index("compare_attribute")],
+        dtype=np.int32,
+    )
+    acc = EvalAccumulator(d, categories=cats)
+    # questions 0,1 are count (one right, one wrong); 2 exist (right);
+    # 3 compare_attribute (right) -- exist and compare_attribute both answer
+    # yes/no yet land in separate category rows (the answer-value grouping
+    # cannot do this).
+    acc.update(
+        np.array([0, 0, 2, 3]),  # pred
+        np.array([0, 1, 2, 3]),  # true
+        np.ones(4, bool),
+        qidx=np.array([0, 1, 2, 3]),
+    )
+    pc = acc.per_category_accuracy()
+    assert pc["count"] == 0.5
+    assert pc["exist"] == 1.0
+    assert pc["compare_attribute"] == 1.0
+    assert "query_attribute" not in pc  # zero questions -> omitted
+
+
+def test_synth_fixture_covers_all_categories(fixture_dir):
+    import json
+    import os
+
+    from rnet.data.categories import QUESTION_CATEGORIES, category_ids
+
+    with open(os.path.join(fixture_dir, "questions", "CLEVR_train_questions.json")) as f:
+        questions = json.load(f)["questions"]
+    ids = category_ids(questions)
+    present = {QUESTION_CATEGORIES[i] for i in set(ids.tolist())}
+    assert {"count", "exist", "compare_numbers", "query_attribute"} <= present
+    assert "other" not in present

@@ -203,3 +203,36 @@ def test_rn_extract_ir_model():
             inputs,
             method=RN.extract,
         )
+
+
+def test_lstm_fixed_max_vs_per_batch_padding_every_length():
+    """Fixed-max padding == per-batch-max padding for every question length.
+
+    The reference pads questions to the *batch* max (SURVEY.md 2.6); we pad
+    to config maxima for static jit shapes. This pins the documented claim
+    that the mask-aware LSTM makes the two encodings identical at every real
+    length, in both token orders (plain and --invert-questions).
+    """
+    T_FIXED = 20
+    m = QuestionEmbedModel(vocab_size=V, emb_dim=8, hidden=16)
+    rng = np.random.RandomState(0)
+    params = m.init(jax.random.key(1), jnp.zeros((1, T_FIXED), jnp.int32))
+    for L in range(1, T_FIXED + 1):
+        toks = rng.randint(1, V, size=(2, L)).astype(np.int32)
+        per_batch = jnp.asarray(toks)  # batch-max == L, no padding
+        fixed = jnp.zeros((2, T_FIXED), jnp.int32).at[:, :L].set(toks)
+        np.testing.assert_allclose(
+            np.asarray(m.apply(params, per_batch)),
+            np.asarray(m.apply(params, fixed)),
+            atol=1e-6,
+            err_msg=f"L={L} plain",
+        )
+        # inverted: pads-first layout (full-row reversal of the padded row)
+        inv_pb = jnp.asarray(toks[:, ::-1])
+        inv_fixed = jnp.asarray(np.asarray(fixed)[:, ::-1])
+        np.testing.assert_allclose(
+            np.asarray(m.apply(params, inv_pb)),
+            np.asarray(m.apply(params, inv_fixed)),
+            atol=1e-6,
+            err_msg=f"L={L} inverted",
+        )

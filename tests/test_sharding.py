@@ -114,6 +114,7 @@ def test_gspmd_dp_train_step_matches_single_device(fixture_dir, dicts, tmp_path)
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import importlib.util
     import os

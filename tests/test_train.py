@@ -55,6 +55,7 @@ def _sd_trainer(fixture_dir, dicts, tmp_path, **kw):
     return Trainer(cfg, dicts.vocab_size, train_ds, val_ds, dicts, **defaults)
 
 
+@pytest.mark.slow
 def test_sd_overfit_loss_decreases(fixture_dir, dicts, tmp_path):
     """The ONE-model-running milestone: loss collapses on the tiny fixture."""
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)
@@ -81,6 +82,7 @@ def test_lr_injection_changes_updates(fixture_dir, dicts, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(fixture_dir, dicts, tmp_path):
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)
     tr.train_epoch(1)
@@ -104,6 +106,7 @@ def test_checkpoint_roundtrip_and_resume(fixture_dir, dicts, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)
     tr.train_epoch(1)
@@ -118,6 +121,7 @@ def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fp_train_smoke(fixture_dir, dicts, tmp_path):
     """From-pixels path end-to-end on CPU (tiny conv, one step)."""
     cfg = (
@@ -143,6 +147,19 @@ def test_fp_train_smoke(fixture_dir, dicts, tmp_path):
     assert tr.state.batch_stats  # BN stats updated on the fp path
 
 
+def test_eval_reports_question_categories(fixture_dir, dicts, tmp_path):
+    """Eval plumbs question indices -> per-family accuracy (SURVEY.md 3.2)."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    stats = tr.eval_epoch(0, batch_size=16)
+    acc = stats["_accumulator"]
+    pc = acc.per_category_accuracy()
+    assert {"count", "exist", "compare_numbers", "query_attribute"} <= set(pc)
+    # every valid question lands in exactly one family
+    assert acc.cat_totals.sum() == acc.n == len(tr.val_ds)
+    assert all(0.0 <= v <= 1.0 for v in pc.values())
+
+
+@pytest.mark.slow
 def test_bs_doubling_rebuilds_loader(fixture_dir, dicts, tmp_path):
     """Batch size doubles per epoch up to the cap; steps stay consistent."""
     tr = _sd_trainer(
@@ -156,3 +173,29 @@ def test_bs_doubling_rebuilds_loader(fixture_dir, dicts, tmp_path):
     # each phase ran the right number of steps for its batch size
     n = len(tr.train_ds)
     assert int(tr.state.step) == n // 8 + 2 * (n // 16)
+
+
+def test_weight_decay_is_torch_adam_l2():
+    """--weight-decay reproduces torch Adam's L2-in-gradient semantics.
+
+    The reference is recalled to use Adam weight_decay~=1e-4 [LOW confidence]
+    (SURVEY.md 3.1); our default stays 0.0 with the knob exposed. torch Adam
+    adds wd*param to the gradient BEFORE the moment updates (not AdamW);
+    optax.add_decayed_weights placed before adam in the chain does the same —
+    pin it: with zero gradient and nonzero wd, the step equals Adam applied
+    to the pure decay term wd*p.
+    """
+    import optax
+
+    from rnet.train.steps import make_optimizer
+
+    wd, lr = 1e-2, 1e-3
+    p = {"w": jnp.asarray([2.0, -4.0])}
+    g = {"w": jnp.zeros(2)}
+    opt = make_optimizer(lr, clip_norm=0.0, weight_decay=wd)
+    upd, _ = opt.update(g, opt.init(p), p)
+    ref = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    ref_upd, _ = ref.update({"w": wd * p["w"]}, ref.init(p), p)
+    np.testing.assert_allclose(
+        np.asarray(upd["w"]), np.asarray(ref_upd["w"]), rtol=1e-6
+    )
