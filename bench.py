@@ -117,7 +117,7 @@ def measure_train_qps(rl_impl: str, batch_size: int) -> float:
         _, loss = jax.lax.fori_loop(0, K, body, (state0, jnp.float32(0)))
         return loss
 
-    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)), k1=2, k2=10)
+    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)))
     return batch_size / t
 
 
@@ -144,7 +144,7 @@ def measure_infer_qps(rl_impl: str, batch_size: int) -> float:
             return acc + out["correct"].sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)), k1=2, k2=10)
+    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)))
     return batch_size / t
 
 

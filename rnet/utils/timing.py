@@ -15,12 +15,36 @@ import time
 from typing import Callable
 
 
-def device_loop_time(make_loop: Callable[[int], Callable], k1: int = 4, k2: int = 20, repeats: int = 2):
+def device_loop_time(
+    make_loop: Callable[[int], Callable],
+    k1: int | None = None,
+    k2: int | None = None,
+    repeats: int = 3,
+    target_s: float = 2.0,
+):
     """Seconds per step via differenced device-side loops.
 
     make_loop(K) must return a zero-arg callable that dispatches one jitted
     K-step loop and returns a jax scalar to fetch.
+
+    K auto-scales (round-2 audit, scripts/audit_timing.py): the differenced
+    compute time k2-k1 steps must DOMINATE the ~0.2 s dispatch+fetch constant
+    on the tunneled backend, or noise in the constant swamps the signal —
+    the fixed k1=4/k2=20 round-1 protocol under-measured a 0.55 ms kernel by
+    49%. With auto-K the differencing agrees with a single 5000-step
+    wall-clock run to <1%.
     """
+    if k1 is None or k2 is None:
+        # differenced probe: a raw T(K)/K estimate is dominated by the ~0.2 s
+        # dispatch constant for ms-scale steps, which would pick K far too
+        # small. (T(96)-T(16))/80 cancels the constant; it only needs to be
+        # right to ~2x for K selection.
+        pa, pb = make_loop(16), make_loop(96)
+        float(pa())  # compile
+        float(pb())
+        est = max((min(_run(pb) for _ in range(2)) - min(_run(pa) for _ in range(2))) / 80, 2e-6)
+        k2 = int(min(max(target_s / est, 64), 200_000))
+        k1 = max(k2 // 5, 1)
     f1, f2 = make_loop(k1), make_loop(k2)
     float(f1())  # compile
     float(f2())
@@ -35,7 +59,7 @@ def _run(f):
     return time.perf_counter() - t0
 
 
-def bench_train_steps(jit_loop, state, batch, k1: int = 4, k2: int = 20, repeats: int = 2):
+def bench_train_steps(jit_loop, state, batch, k1: int | None = None, k2: int | None = None, repeats: int = 3):
     """Seconds per training step; jit_loop(state, batch, K) -> final loss scalar."""
 
     def make(k):

@@ -30,7 +30,7 @@ img = jax.random.normal(jax.random.key(0), (B,128,128,3), jnp.bfloat16)
 cp = conv.init(jax.random.key(0), img, train=False)
 f = lambda x: conv.apply(cp, x, train=False)
 lp = loop_of(f, img, lambda x, o: x + (o.sum()*0.0).astype(x.dtype))
-t = device_loop_time(lambda K: (lambda: lp(img, K)), k1=2, k2=10)
+t = device_loop_time(lambda K: (lambda: lp(img, K)))
 print(f'conv fwd B={B}: {t*1e3:.2f} ms')
 
 # lstm
@@ -42,7 +42,7 @@ def ftext(e):
     p2 = {'params': {**tp['params'], 'embedding': e}}
     return text.apply(p2, tok)
 lp2 = loop_of(ftext, emb, lambda e, o: e + (o.sum()*0.0).astype(e.dtype))
-t2 = device_loop_time(lambda K: (lambda: lp2(emb, K)), k1=2, k2=10)
+t2 = device_loop_time(lambda K: (lambda: lp2(emb, K)))
 print(f'lstm fwd B={B}: {t2*1e3:.2f} ms')
 
 # full RN fwd
@@ -56,5 +56,5 @@ def frn(e):
     p['params']['text']['embedding'] = e
     return model.apply(p, img8, tok, train=False)
 lp3 = loop_of(frn, emb2, lambda e, o: e + (o.sum()*0.0).astype(e.dtype))
-t3 = device_loop_time(lambda K: (lambda: lp3(emb2, K)), k1=2, k2=10)
+t3 = device_loop_time(lambda K: (lambda: lp3(emb2, K)))
 print(f'full RN fwd B={B}: {t3*1e3:.2f} ms')

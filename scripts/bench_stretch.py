@@ -30,7 +30,7 @@ for B in (64, 128):
             return (st, m['loss'])
         _, loss = jax.lax.fori_loop(0, K, body, (state0, jnp.float32(0)))
         return loss
-    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)), k1=2, k2=8)
+    t = device_loop_time(lambda K: (lambda: loop(state, batch, K)))
     pair_flops = 2*B*256*256*(3*256*256 + 256)
     print(f'stretch-fp-16 train step B={B}: {t*1e3:.2f} ms -> {B/t:.0f} q/s '
           f'(~{3*pair_flops/t/1e12:.0f} TF/s incl bwd est)')
