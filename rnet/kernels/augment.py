@@ -1,0 +1,206 @@
+"""Fused Pallas TPU kernel: batch gather + crop + rotate + normalize.
+
+Round-1's device pipeline paid ~12 ms per 512-batch outside the model step:
+an HBM row gather of the padded uint8 images (image_cache[idx], ~32 MB) plus
+the three-shear rotation as ~25 full-batch jnp.roll round-trips through HBM
+(rnet/data/augment.py). Both are memory-bound and fuse into ONE pass:
+
+  grid = (B,); per step, the kernel DMAs image idx[b] straight out of the
+  HBM-resident cache (scalar-prefetch index_map — the gather never exists as
+  a separate op), converts to f32 in VMEM, applies the three-shear rotation
+  about the CROP center (per-sample angle), crops at a per-sample offset
+  (dynamic pltpu.roll + static slice), and writes the normalized bf16
+  128x128x3 crop. HBM traffic = read 62 KB + write 96 KB per sample —
+  speed-of-light for the op.
+
+Semantics vs the round-1 XLA path (rnet/data/augment.py, reference
+torchvision Pad(8)+RandomCrop+RandomRotation ~2.8 deg — SURVEY.md 2.5):
+  * crop offsets are per-SAMPLE (the XLA path grouped samples 32-to-an-offset
+    as a gather workaround; per-sample matches the reference exactly).
+  * rotation is applied to the padded 144-canvas about the crop's center and
+    THEN cropped (the XLA path cropped first). Mathematically the same
+    rotation; near the crop border the rotated-in pixels are REAL neighboring
+    pixels rather than wrap-around artifacts, i.e. strictly closer to PIL.
+  * images are channel-interleaved on the lane axis (144, 432): a horizontal
+    shift of k pixels is a lane roll of 3k; shear weights depend only on the
+    perpendicular coordinate (rows, or lane//3).
+
+The pure-jnp `gather_augment_reference` implements the identical math (same
+shear order, same centers, same hat weights) and is the kernel's test oracle
+and the non-TPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+# roll radii covering the shear hat-function support for max 2.8 deg rotation
+# of a 144-canvas about any 128-crop center: |r - c| <= 80, so
+# |sx| <= 80*tan(1.4 deg) = 1.96 -> KX=2;  |sy| <= 80*sin(2.8 deg) = 3.91 -> KY=4.
+MAX_DEG = 2.8
+_PAD_CANVAS = 144
+
+
+def _shear_radii(canvas: int, out_size: int) -> tuple[int, int]:
+    reach = max(out_size / 2 + (canvas - out_size), out_size / 2)
+    kx = math.ceil(reach * math.tan(math.radians(MAX_DEG / 2)))
+    ky = math.ceil(reach * math.sin(math.radians(MAX_DEG)))
+    return kx, ky
+
+
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _augment_kernel(
+    idx_ref, ang_ref, off_ref, img_ref, out_ref, *, S, out_size, C, kx, ky
+):
+    b = pl.program_id(0)
+    # Mosaic has no unsigned->float cast; hop through int32 (values < 256)
+    img = img_ref[0].astype(jnp.int32).astype(_F32) * (1.0 / 255.0)  # (S, S*C)
+    ang = ang_ref[b]
+    oy = off_ref[b, 0]
+    ox = off_ref[b, 1]
+    cy = oy.astype(_F32) + (out_size - 1) / 2.0
+    cx = ox.astype(_F32) + (out_size - 1) / 2.0
+    a = jnp.tan(ang / 2.0)
+    s = -jnp.sin(ang)
+    # per-row horizontal shift (rows = sublanes); weight broadcast over lanes
+    r = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(_F32)
+    sx = a * (r - cy)  # (S, 1)
+    # per-column vertical shift; column = lane // C
+    px = (jax.lax.broadcasted_iota(jnp.int32, (1, S * C), 1) // C).astype(_F32)
+    sy = s * (px - cx)  # (1, S*C)
+
+    W = S * C  # pltpu.roll wants non-negative shifts: wrap mod axis size
+
+    def shear_x(x):
+        out = jnp.zeros_like(x)
+        for k in range(-kx, kx + 1):
+            out = out + _hat(sx - k) * pltpu.roll(x, (C * k) % W, 1)
+        return out
+
+    x1 = shear_x(img)
+    x2 = jnp.zeros_like(x1)
+    for k in range(-ky, ky + 1):
+        x2 = x2 + _hat(sy - k) * pltpu.roll(x1, k % S, 0)
+    x3 = shear_x(x2)
+    # per-sample crop: dynamic roll to the origin, then a static slice.
+    # tpu.dynamic_rotate needs a lane-aligned width: pad W=432 -> 512. The
+    # crop never reads wrapped lanes (i + C*ox < W for i < out_size*C), so
+    # the pad values are sliced away and wrap semantics don't matter.
+    x4 = pltpu.roll(x3, (S - oy) % S, 0)[:out_size, :]
+    Wp = ((W + 127) // 128) * 128
+    if Wp != W:
+        x4 = jnp.concatenate(
+            [x4, jnp.zeros((out_size, Wp - W), x4.dtype)], axis=1
+        )
+    x5 = pltpu.roll(x4, (Wp - C * ox) % Wp, 1)[:, : out_size * C]
+    out_ref[0] = x5.astype(out_ref.dtype)
+
+
+def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret):
+    N, S, _, C = cache.shape
+    B = idx.shape[0]
+    kx, ky = _shear_radii(S, out_size)
+    kern = functools.partial(
+        _augment_kernel, S=S, out_size=out_size, C=C, kx=kx, ky=ky
+    )
+    flat = cache.reshape(N, S, S * C)  # minor-dims merge: no relayout
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # idx, angles, offsets
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, S * C), lambda b, idx_ref, ang_ref, off_ref: (idx_ref[b], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_size, out_size * C), lambda b, *_: (b, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_size, out_size * C), out_dtype),
+        interpret=interpret,
+    )(idx, angles.astype(_F32), offs.astype(jnp.int32), flat)
+    return out.reshape(B, out_size, out_size, C)
+
+
+def gather_augment_reference(cache, idx, angles, offs, out_size, out_dtype=jnp.bfloat16):
+    """Pure-jnp oracle: identical math to the kernel (shears on the full
+    canvas about the crop center, then per-sample crop)."""
+    from ..data.augment import _shear
+
+    imgs = cache[idx].astype(_F32) * (1.0 / 255.0)  # (B, S, S, C)
+    B, S, _, C = imgs.shape
+    kx, ky = _shear_radii(S, out_size)
+    ang = angles.astype(_F32)
+    cy = offs[:, 0].astype(_F32) + (out_size - 1) / 2.0
+    cx = offs[:, 1].astype(_F32) + (out_size - 1) / 2.0
+    coord = jnp.arange(S, dtype=_F32)[None, :]
+    sx = jnp.tan(ang / 2.0)[:, None] * (coord - cy[:, None])  # (B, S) per row
+    sy = -jnp.sin(ang)[:, None] * (coord - cx[:, None])  # (B, S) per column
+    x = _shear(imgs, sx, axis=2, k_max=kx)
+    x = _shear(x, sy, axis=1, k_max=ky)
+    x = _shear(x, sx, axis=2, k_max=kx)
+
+    def crop(one, off):
+        return jax.lax.dynamic_slice(one, (off[0], off[1], 0), (out_size, out_size, C))
+
+    return jax.vmap(crop)(x, offs).astype(out_dtype)
+
+
+def gather_augment(
+    cache,  # (N, S, S, C) uint8, HBM-resident
+    idx,  # (B,) int32 rows to augment
+    rng,  # per-step PRNG key
+    out_size: int,
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    mesh=None,
+):
+    """Random crop + rotation, fused with the cache gather. Returns
+    (B, out, out, C) normalized [0,1] images in out_dtype.
+
+    Matches the reference's train transform (SURVEY.md 2.5: RandomCrop after
+    Pad, RandomRotation ~2.8 deg) with per-sample offsets/angles drawn from
+    `rng` — reproducible from the training seed.
+    """
+    B = idx.shape[0]
+    N, S, _, C = cache.shape
+    margin = S - out_size
+    kr, kc = jax.random.split(rng)
+    angles = jax.random.uniform(
+        kr, (B,), minval=-MAX_DEG, maxval=MAX_DEG
+    ) * (jnp.pi / 180.0)
+    offs = jax.random.randint(kc, (B, 2), 0, margin + 1, jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return gather_augment_reference(cache, idx, angles, offs, out_size, out_dtype)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        data_axes = tuple(a for a in mesh.axis_names if a != "pairs")
+
+        def f(idx_l, ang_l, off_l, cache_l):
+            return _fused_pallas(
+                cache_l, idx_l, ang_l, off_l, out_size, out_dtype, interpret
+            )
+
+        return jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(data_axes), P(data_axes), P(data_axes, None), P()),
+            out_specs=P(data_axes, None, None, None),
+            check_vma=False,
+        )(idx, angles, offs, cache)
+    return _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret)

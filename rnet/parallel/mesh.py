@@ -40,17 +40,25 @@ def distributed_init(
     With no arguments, jax.distributed.initialize() reads the standard env
     (JAX_COORDINATOR_ADDRESS / cloud TPU metadata). No-op when already
     initialized or single-process.
+
+    NOTE: the guard must NOT touch jax.process_count()/jax.devices() — those
+    initialize the single-process backend, after which distributed init can
+    never succeed (caught by tests/test_multihost.py).
     """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is not None:
+        # explicit bring-up: failures are real errors, let them propagate
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    try:
+        jax.distributed.initialize()  # env/metadata-configured, if any
     except (ValueError, RuntimeError):
         pass  # single-process / no coordinator configured
 

@@ -381,7 +381,18 @@ class Trainer:
                 if world > 1:  # gather globally-sharded results on every host
                     from jax.experimental import multihost_utils
 
-                    out = multihost_utils.process_allgather(out)
+                    def _gather(x):
+                        if getattr(x, "ndim", 0) == 0:
+                            # replicated scalar (nll_sum): every host already
+                            # holds the global value; fetch the local shard
+                            return np.asarray(jax.device_get(x.addressable_data(0)))
+                        # (B,) arrays sharded over 'data' across hosts: tiled
+                        # allgather reassembles the global batch on every host
+                        return np.asarray(
+                            multihost_utils.process_allgather(x, tiled=True)
+                        )
+
+                    out = jax.tree.map(_gather, out)
                 out = jax.tree.map(np.asarray, out)
                 acc.update(
                     out["pred"],

@@ -1,0 +1,90 @@
+"""Multi-host (2-process) data-parallel training over the DCN-analog path.
+
+SURVEY.md 2.8: the reference is single-process DataParallel; our multi-host
+story is jax.distributed over DCN with per-process data shards. Round 1 wrote
+that path (mesh.distributed_init, pipeline.make_array_from_process_local_data,
+loop process_allgather) but never executed it. This test runs it for real:
+two OS processes, each with 4 virtual CPU devices, a loopback coordinator and
+gloo CPU collectives, training the actual Trainer on a shared fixture — and
+asserts metric parity with the identical single-process 8-device run.
+
+Parity argument: the global batch equals the full (tiny) train split in both
+topologies, so the multi-host strided shard is a row PERMUTATION of the
+single-process batch; with dropout off, every step's mean loss/grads are
+permutation-invariant, so the two runs agree to fp tolerance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(fixture_dir, tmp_path, world: int, timeout=600):
+    """Launch `world` worker processes (4 virtual CPU devices each)."""
+    port = _free_port()
+    outs = [tmp_path / f"mh_{world}_{r}.json" for r in range(world)]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize: CPU-only
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, WORKER,
+                "--rank", str(r), "--world", str(world),
+                "--coordinator", f"localhost:{port}",
+                "--clevr-dir", str(fixture_dir), "--out", str(outs[r]),
+            ],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(world)
+    ]
+    logs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for r, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {r}/{world} failed:\n{log[-4000:]}"
+    return [json.loads(o.read_text()) for o in outs]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(fixture_dir, tmp_path):
+    multi = _run_workers(fixture_dir, tmp_path, world=2)
+    single = _run_workers(fixture_dir, tmp_path, world=1)
+
+    # every process observed the same global world
+    assert all(r["process_count"] == 2 for r in multi)
+    assert all(r["global_devices"] == 8 for r in multi)
+    assert single[0]["global_devices"] == 8
+
+    # both ranks computed identical global metrics (the eval allgather ran)
+    for key in ("train_loss", "val_acc", "val_nll"):
+        assert multi[0][key] == pytest.approx(multi[1][key], abs=1e-5), key
+
+    # 2-process run == 1-process run (same global batch as a set; dropout off)
+    for key in ("train_loss", "val_acc", "val_nll"):
+        assert multi[0][key] == pytest.approx(single[0][key], rel=2e-4, abs=2e-4), key
+
+    # parameters stayed replicated and identical across hosts after 2 epochs
+    assert multi[0]["param_digest"] == pytest.approx(
+        multi[1]["param_digest"], rel=1e-6
+    )
+    assert multi[0]["param_digest"] == pytest.approx(
+        single[0]["param_digest"], rel=1e-3
+    )
+    assert multi[0]["n_train_batches"] >= 2  # it actually stepped
