@@ -93,6 +93,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         default=None,
         help="run train-time rotation on device (recommended with --data-pipeline cached)",
     )
+    p.add_argument(
+        "--augment-impl",
+        choices=["auto", "pallas", "xla"],
+        default=None,
+        dest="augment_impl",
+        help="device augmentation implementation (auto: fused Pallas "
+        "gather+crop+rotate kernel on TPU, XLA formulation elsewhere)",
+    )
 
 
 def apply_platform(args: argparse.Namespace) -> None:
@@ -113,6 +121,7 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "compute_dtype",
             "rl_impl",
             "device_augment",
+            "augment_impl",
         )
     }
     if (

@@ -58,6 +58,10 @@ class ModelConfig:
     device_augment: bool = False
     # 'auto' | 'naive' | 'xla' | 'pallas' : implementation of the pairwise core.
     rl_impl: str = "auto"
+    # 'auto' | 'pallas' | 'xla': train-time augmentation implementation.
+    # auto/pallas on TPU = the fused gather+crop+rotate+normalize kernel
+    # (rnet/kernels/augment.py); xla = the round-1 in-model formulation.
+    augment_impl: str = "auto"
     # compute dtype for the hot path ('bfloat16' or 'float32'); params stay fp32.
     compute_dtype: str = "bfloat16"
 

@@ -40,25 +40,32 @@ _RGB = {
 }
 
 
-def _draw_object(draw: ImageDraw.ImageDraw, obj: Dict, W: int, H: int) -> None:
+def _draw_object(
+    draw: ImageDraw.ImageDraw, obj: Dict, W: int, H: int, style: str = "v1"
+) -> None:
     cx = (obj["3d_coords"][0] / 3.0 * 0.4 + 0.5) * W
     cy = (obj["3d_coords"][1] / 3.0 * 0.4 + 0.5) * H
-    r = (0.055 if obj["size"] == "small" else 0.10) * min(W, H)
+    if style == "v2":  # bigger sprites: every attribute visible at 8x8-grid scale
+        r = (0.075 if obj["size"] == "small" else 0.13) * min(W, H)
+        width = max(2, round(0.030 * min(W, H)))
+    else:
+        r = (0.055 if obj["size"] == "small" else 0.10) * min(W, H)
+        width = 2
     color = _RGB[obj["color"]]
     # "metal" renders with a white specular outline; "rubber" is matte.
     outline = (255, 255, 255) if obj["material"] == "metal" else None
     box = (cx - r, cy - r, cx + r, cy + r)
     if obj["shape"] == "sphere":
-        draw.ellipse(box, fill=color, outline=outline, width=2)
+        draw.ellipse(box, fill=color, outline=outline, width=width)
     elif obj["shape"] == "cube":
-        draw.rectangle(box, fill=color, outline=outline, width=2)
+        draw.rectangle(box, fill=color, outline=outline, width=width)
     else:  # cylinder -> vertical capsule-ish rectangle with rounded top
         draw.rounded_rectangle(
             (cx - 0.7 * r, cy - r, cx + 0.7 * r, cy + r),
             radius=int(0.5 * r),
             fill=color,
             outline=outline,
-            width=2,
+            width=width,
         )
 
 
@@ -143,16 +150,140 @@ def _make_questions(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str
     return qs
 
 
+def _random_scene_v2(rng: random.Random, n_min: int = 2, n_max: int = 5) -> List[Dict]:
+    """Fixture-v2 scenes: fewer, larger, well-separated sprites.
+
+    Spacing is size-aware (no occlusion) and positions stay >=0.18 of the
+    canvas from every edge, so the train-time 16 px crop jitter + rotation
+    can never clip an object (clipped edge objects were count/exist label
+    noise in v1).
+    """
+    n = rng.randint(n_min, n_max)
+    objs: List[Dict] = []
+    taken: List[Tuple[float, float, float]] = []  # (x, y, radius in scene units)
+    for _ in range(n):
+        size = rng.choice(CLEVR_SIZES)
+        r_units = (0.075 if size == "small" else 0.13) / (0.4 / 3.0)
+        lim = 2.55 - r_units  # keep the whole sprite crop/rotation-safe
+        placed = False
+        for _attempt in range(300):
+            x, y = rng.uniform(-lim, lim), rng.uniform(-lim, lim)
+            if all(
+                (x - tx) ** 2 + (y - ty) ** 2 > (1.1 * (r_units + tr)) ** 2
+                for tx, ty, tr in taken
+            ):
+                placed = True
+                break
+        if not placed:  # never emit overlapping sprites (v1 label noise)
+            continue
+        taken.append((x, y, r_units))
+        objs.append(
+            {
+                "color": rng.choice(CLEVR_COLORS),
+                "shape": rng.choice(CLEVR_SHAPES),
+                "material": rng.choice(CLEVR_MATERIALS),
+                "size": size,
+                "rotation": rng.uniform(0, 360),
+                "3d_coords": [x, y, 0.35],
+                "pixel_coords": [0, 0, 0],
+            }
+        )
+    if len(objs) < 2:  # placement starved (rare): resample the scene
+        return _random_scene_v2(rng, n_min, n_max)
+    return objs
+
+
+def _make_questions_v2(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str, str]]:
+    """Fixture-v2 question mix: ~12 questions/image across all five families,
+    each answerable from pixels at sprite scale, with comparison operands
+    biased toward attributes actually present (so yes/no isn't one-sided)."""
+    qs: List[Tuple[str, str, str]] = []
+    colors_present = [o["color"] for o in objs]
+    shapes_present = [o["shape"] for o in objs]
+
+    def pick(pool, present):
+        # half the time pick an attribute value that is in the scene
+        return rng.choice(present) if present and rng.random() < 0.5 else rng.choice(pool)
+
+    # --- count ---
+    c = pick(CLEVR_COLORS, colors_present)
+    qs.append((f"How many {c} things are there?", str(sum(o["color"] == c for o in objs)), "count"))
+    s = pick(CLEVR_SHAPES, shapes_present)
+    qs.append((f"How many {s}s are there?", str(sum(o["shape"] == s for o in objs)), "count"))
+    qs.append(("How many things are there?", str(len(objs)), "count"))
+
+    # --- exist ---
+    s = pick(CLEVR_SHAPES, shapes_present)
+    qs.append((f"Is there a {s} in the scene?", "yes" if any(o["shape"] == s for o in objs) else "no", "exist"))
+    c = pick(CLEVR_COLORS, colors_present)
+    qs.append((f"Is there a {c} thing in the scene?", "yes" if c in colors_present else "no", "exist"))
+    o0 = rng.choice(objs)
+    c, s = (o0["color"], o0["shape"]) if rng.random() < 0.5 else (
+        rng.choice(CLEVR_COLORS), rng.choice(CLEVR_SHAPES)
+    )
+    hit = any(o["color"] == c and o["shape"] == s for o in objs)
+    qs.append((f"Is there a {c} {s} in the scene?", "yes" if hit else "no", "exist"))
+
+    # --- compare-numbers ---
+    c1 = pick(CLEVR_COLORS, colors_present)
+    c2 = pick(CLEVR_COLORS, [cc for cc in colors_present if cc != c1])
+    if c1 != c2:
+        n1 = sum(o["color"] == c1 for o in objs)
+        n2 = sum(o["color"] == c2 for o in objs)
+        qs.append((f"Are there more {c1} things than {c2} things?", "yes" if n1 > n2 else "no", "greater_than"))
+        qs.append((
+            f"Are there the same number of {c1} things and {c2} things?",
+            "yes" if n1 == n2 else "no", "equal_integer",
+        ))
+    s1 = pick(CLEVR_SHAPES, shapes_present)
+    s2 = pick(CLEVR_SHAPES, [ss for ss in shapes_present if ss != s1])
+    if s1 != s2:
+        m1 = sum(o["shape"] == s1 for o in objs)
+        m2 = sum(o["shape"] == s2 for o in objs)
+        qs.append((f"Are there fewer {s1}s than {s2}s?", "yes" if m1 < m2 else "no", "less_than"))
+
+    # --- query-attribute (on uniquely-identified objects) ---
+    uniq_color = [o for o in objs if colors_present.count(o["color"]) == 1]
+    rng.shuffle(uniq_color)
+    for o in uniq_color[:2]:
+        attr = rng.choice(["shape", "material", "size"])
+        qs.append((f"What {attr} is the {o['color']} thing?", o[attr], f"query_{attr}"))
+    uniq_shape = [o for o in objs if shapes_present.count(o["shape"]) == 1]
+    if uniq_shape:
+        o = rng.choice(uniq_shape)
+        qs.append((f"What color is the {o['shape']}?", o["color"], "query_color"))
+
+    # --- compare-attribute ---
+    if len(uniq_color) >= 2:
+        for a, b in [uniq_color[:2], uniq_color[-2:]][: 2 if len(uniq_color) > 2 else 1]:
+            attr = rng.choice(["shape", "material", "size"])
+            qs.append((
+                f"Is the {a['color']} thing the same {attr} as the {b['color']} thing?",
+                "yes" if a[attr] == b[attr] else "no", f"equal_{attr}",
+            ))
+    return qs
+
+
 def generate(
     root: str,
     n_train: int = 32,
     n_val: int = 8,
     image_hw: Tuple[int, int] = (120, 160),
     seed: int = 0,
+    style: str = "v1",
 ) -> str:
-    """Write a miniature CLEVR-schema dataset under ``root``. Returns root."""
+    """Write a miniature CLEVR-schema dataset under ``root``. Returns root.
+
+    style="v2" (round 2, from-pixels accuracy demo): square 2x-supersampled
+    render, larger well-separated sprites that survive the 8x8 conv grid,
+    crop/rotation-safe margins, and ~12 balanced questions per image across
+    all five CLEVR families.
+    """
     rng = random.Random(seed)
-    H, W = image_hw
+    if style == "v2":
+        H = W = max(image_hw) if image_hw != (120, 160) else 128
+    else:
+        H, W = image_hw
     for split, n_images in (("train", n_train), ("val", n_val)):
         img_dir = os.path.join(root, "images", split)
         os.makedirs(img_dir, exist_ok=True)
@@ -161,13 +292,20 @@ def generate(
 
         scenes, questions = [], []
         for idx in range(n_images):
-            objs = _random_scene(rng)
+            objs = _random_scene_v2(rng) if style == "v2" else _random_scene(rng)
             fname = f"CLEVR_{split}_{idx:06d}.png"
-            img = Image.new("RGB", (W, H), (210, 210, 210))
-            _draw = ImageDraw.Draw(img)
-            # painter's order: back-to-front by y
-            for o in sorted(objs, key=lambda o: o["3d_coords"][1]):
-                _draw_object(_draw, o, W, H)
+            if style == "v2":  # 2x supersample -> LANCZOS: crisp sub-pixel edges
+                img = Image.new("RGB", (2 * W, 2 * H), (210, 210, 210))
+                _draw = ImageDraw.Draw(img)
+                for o in sorted(objs, key=lambda o: o["3d_coords"][1]):
+                    _draw_object(_draw, o, 2 * W, 2 * H, style="v2")
+                img = img.resize((W, H), Image.LANCZOS)
+            else:
+                img = Image.new("RGB", (W, H), (210, 210, 210))
+                _draw = ImageDraw.Draw(img)
+                # painter's order: back-to-front by y
+                for o in sorted(objs, key=lambda o: o["3d_coords"][1]):
+                    _draw_object(_draw, o, W, H)
             img.save(os.path.join(img_dir, fname))
 
             scenes.append(
@@ -179,7 +317,8 @@ def generate(
                     "directions": {},
                 }
             )
-            for q, a, fn in _make_questions(rng, objs):
+            make_qs = _make_questions_v2 if style == "v2" else _make_questions
+            for q, a, fn in make_qs(rng, objs):
                 questions.append(
                     {
                         "split": split,
@@ -241,6 +380,7 @@ if __name__ == "__main__":
     p.add_argument("--n-train", type=int, default=32)
     p.add_argument("--n-val", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--style", choices=("v1", "v2"), default="v1")
     a = p.parse_args()
-    generate(a.root, a.n_train, a.n_val, seed=a.seed)
+    generate(a.root, a.n_train, a.n_val, seed=a.seed, style=a.style)
     print(f"wrote synthetic CLEVR fixture to {a.root}")

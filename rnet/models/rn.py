@@ -62,11 +62,17 @@ class RN(nn.Module):
             dtype=dt,
         )
 
-    def _objects(self, inputs: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def _objects(
+        self, inputs: jnp.ndarray, train: bool, augmented: bool = False
+    ) -> jnp.ndarray:
         cfg = self.cfg
         if cfg.state_description:
             return inputs  # (B, n, object_dim) from the dataset
         x = inputs
+        if augmented:
+            # crop/rotate/normalize already fused into the input pipeline
+            # (rnet/kernels/augment.py via train_step); straight to the conv.
+            return self._grid_objects(x, train)
         if x.shape[1] > cfg.image_size:
             # padded images from the cached pipeline: crop on device (random
             # jitter in training, center crop == plain resize at eval)
@@ -85,6 +91,9 @@ class RN(nn.Module):
             # in bf16 to ~3 decimal digits, plenty for [0,1] pixel data, and
             # the rolls are memory-bound (half the traffic vs fp32)
             x = random_rotate_batch(x, self.make_rng("dropout"))
+        return self._grid_objects(x, train)
+
+    def _grid_objects(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         feats = self.conv(x, train=train)  # (B, g, g, C)
         B, g, _, C = feats.shape
         objs = feats.reshape(B, g * g, C)
@@ -97,8 +106,9 @@ class RN(nn.Module):
         inputs: jnp.ndarray,  # (B,S,S,3) image or (B,n,obj_dim) objects
         question: jnp.ndarray,  # (B, T) int32 token ids
         train: bool = False,
+        augmented: bool = False,  # inputs already crop/rotate/normalized
     ) -> jnp.ndarray:
-        objects = self._objects(inputs, train)
+        objects = self._objects(inputs, train, augmented)
         q = self.text(question)
         return self.relational(objects, q, train=train)
 

@@ -222,24 +222,36 @@ class Trainer:
         from ..utils.profiling import profile_trace
 
         prof_dir = self.profile_dir if epoch == self.profile_epoch else None
+
+        def _drain(pending):
+            # fetch the PREVIOUS chunk's metrics after dispatching the next:
+            # the ~0.1-0.2 s relay round-trip overlaps the next chunk's compute
+            # (one-chunk lag keeps the dispatch queue shallow, see CLAUDE.md)
+            ms, done = pending
+            ms = np.asarray(ms)
+            all_ms.append(ms)
+            self.log(
+                f"Train Epoch: {epoch} [{done}/{nb}] "
+                f"Loss: {ms[-1, 0]:.4f} Acc: {ms[-1, 1]:.3f} LR: {lr:.2e} BS: {bs}"
+            )
+            self.scalars.write(
+                int(self.state.step),
+                {"train/loss": float(ms[-1, 0]), "train/accuracy": float(ms[-1, 1]),
+                 "train/grad_norm": float(ms[-1, 2]), "train/lr": lr},
+            )
+
+        pending = None
         with self.mesh, pmesh.pair_sharding(self.mesh), profile_trace(prof_dir):
             for c0 in range(0, nb, C):
                 idx = jax.device_put(order[c0 : c0 + C], self._idx_sharding())
                 self.state, ms = self.jit_train_chunk(
                     self.state, idx, self.train_data, self.train_cache
                 )
-                ms = np.asarray(ms)  # one fetch per chunk; drains the queue
-                all_ms.append(ms)
-                done = min(c0 + C, nb)
-                self.log(
-                    f"Train Epoch: {epoch} [{done}/{nb}] "
-                    f"Loss: {ms[-1, 0]:.4f} Acc: {ms[-1, 1]:.3f} LR: {lr:.2e} BS: {bs}"
-                )
-                self.scalars.write(
-                    int(self.state.step),
-                    {"train/loss": float(ms[-1, 0]), "train/accuracy": float(ms[-1, 1]),
-                     "train/grad_norm": float(ms[-1, 2]), "train/lr": lr},
-                )
+                if pending is not None:
+                    _drain(pending)
+                pending = (ms, min(c0 + C, nb))
+            if pending is not None:
+                _drain(pending)
         ms = np.concatenate(all_ms, axis=0)
         dt = time.time() - t0
         return {

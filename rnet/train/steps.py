@@ -90,6 +90,46 @@ def _inputs_of(batch: Dict[str, jnp.ndarray], cfg: ModelConfig, image_cache=None
     return batch["image"]
 
 
+def _fused_augment_ok(cfg: ModelConfig) -> bool:
+    if cfg.state_description or not cfg.device_augment:
+        return False
+    if cfg.augment_impl == "xla":
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu" or cfg.augment_impl == "pallas"
+
+
+def _train_inputs(batch, cfg: ModelConfig, image_cache, aug_rng):
+    """Training inputs + whether augmentation already happened.
+
+    When the fused Pallas augment kernel applies (TPU, from-pixels,
+    device_augment on), the HBM image gather, per-sample crop, rotation and
+    uint8 normalization all happen in ONE memory-bound kernel pass
+    (rnet/kernels/augment.py) instead of ~12 ms of XLA gathers+rolls per
+    512-batch; the model then skips its in-forward augmentation.
+    """
+    if cfg.state_description or not _fused_augment_ok(cfg):
+        return _inputs_of(batch, cfg, image_cache), False
+    from ..kernels.augment import gather_augment
+    from ..parallel.mesh import active_mesh
+
+    if image_cache is not None and "image_idx" in batch:
+        src, idx = image_cache, batch["image_idx"]
+    elif "image" in batch and batch["image"].dtype == jnp.uint8 and (
+        batch["image"].shape[1] > cfg.image_size
+    ):
+        src = batch["image"]
+        idx = jnp.arange(src.shape[0], dtype=jnp.int32)
+    else:  # unpadded/float inputs: nothing for the kernel to crop
+        return _inputs_of(batch, cfg, image_cache), False
+    out = gather_augment(
+        src, idx, aug_rng, cfg.image_size,
+        out_dtype=jnp.dtype(cfg.compute_dtype), mesh=active_mesh(),
+    )
+    return out, True
+
+
 def train_step(
     state: TrainState,
     batch: Dict[str, jnp.ndarray],
@@ -100,8 +140,10 @@ def train_step(
     optimizer: optax.GradientTransformation,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step. Pure; jit with static model/cfg/optimizer via closure."""
-    rng, dropout_rng = jax.random.split(jax.random.wrap_key_data(state.rng))
-    inputs = _inputs_of(batch, cfg, image_cache)
+    rng, dropout_rng, aug_rng = jax.random.split(
+        jax.random.wrap_key_data(state.rng), 3
+    )
+    inputs, augmented = _train_inputs(batch, cfg, image_cache, aug_rng)
     labels = batch["answer"]
 
     def loss_fn(params):
@@ -116,6 +158,7 @@ def train_step(
             inputs,
             batch["question"],
             train=True,
+            augmented=augmented,
             rngs={"dropout": dropout_rng},
             **kw,
         )

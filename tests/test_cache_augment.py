@@ -202,3 +202,96 @@ def test_rotate_shear_bf16_tracks_oracle():
     m = 6
     diff = np.abs(out[m:-m, m:-m] - ref[m:-m, m:-m])
     assert float(diff.mean()) < 0.02, float(diff.mean())
+
+
+# ---- fused Pallas gather+crop+rotate kernel (rnet/kernels/augment.py) ----
+
+
+def _aug_inputs(n=10, b=6, s=144):
+    rs = np.random.RandomState(0)
+    cache = jnp.asarray(rs.randint(0, 256, (n, s, s, 3), dtype=np.uint8))
+    idx = jnp.asarray(rs.randint(0, n, (b,)), jnp.int32)
+    return cache, idx
+
+
+def test_fused_augment_kernel_interpret_matches_oracle():
+    """Kernel math (interpret mode) == the pure-jnp oracle, bit-for-bit-ish."""
+    from rnet.kernels.augment import (
+        MAX_DEG,
+        _fused_pallas,
+        gather_augment_reference,
+    )
+
+    cache, idx = _aug_inputs()
+    B = idx.shape[0]
+    angles = jax.random.uniform(
+        jax.random.key(1), (B,), minval=-MAX_DEG, maxval=MAX_DEG
+    ) * (jnp.pi / 180)
+    offs = jax.random.randint(jax.random.key(2), (B, 2), 0, 17, jnp.int32)
+    ker = np.asarray(
+        _fused_pallas(cache, idx, angles, offs, 128, jnp.float32, True)
+    )
+    ref = np.asarray(
+        gather_augment_reference(cache, idx, angles, offs, 128, jnp.float32)
+    )
+    np.testing.assert_allclose(ker, ref, atol=1e-5)
+
+
+def test_fused_augment_zero_angle_center_is_crop():
+    """angle=0 must reduce to a pure crop of the normalized image."""
+    from rnet.kernels.augment import gather_augment_reference
+
+    cache, idx = _aug_inputs()
+    B = idx.shape[0]
+    offs = jax.random.randint(jax.random.key(5), (B, 2), 0, 17, jnp.int32)
+    out = np.asarray(
+        gather_augment_reference(
+            cache, idx, jnp.zeros((B,)), offs, 128, jnp.float32
+        )
+    )
+    src = np.asarray(cache)[np.asarray(idx)].astype(np.float32) / 255.0
+    o = np.asarray(offs)
+    for k in range(B):
+        np.testing.assert_allclose(
+            out[k], src[k, o[k, 0] : o[k, 0] + 128, o[k, 1] : o[k, 1] + 128]
+        )
+
+
+def test_train_step_fused_augment_path(fixture_dir, dicts, tmp_path):
+    """The fused-augment branch of train_step runs end to end (CPU fallback
+    = the oracle impl; the kernel itself is pinned by the interpret test)."""
+    from functools import partial
+
+    from rnet.config import load_config
+    from rnet.models import RN
+    from rnet.train.steps import create_train_state, train_step
+    from rnet.train.loop import make_injected_optimizer
+
+    cfg = (
+        load_config("original-fp", overrides={"compute_dtype": "float32", "rl_impl": "xla"})
+        .replace(
+            image_size=32, g_layers=(32, 32), f_layers=(16,), lstm_hidden=16,
+            lstm_word_emb=8, dropout=0.0, question_max_len=12,
+            device_augment=True, augment_impl="pallas",  # force the fused branch
+        )
+    )
+    model = RN(cfg=cfg, vocab_size=40)
+    opt = make_injected_optimizer(1e-3, clip_norm=10.0)
+    rs = np.random.RandomState(0)
+    cache = jnp.asarray(rs.randint(0, 256, (5, 48, 48, 3), dtype=np.uint8))
+    batch = {
+        "image_idx": jnp.asarray(rs.randint(0, 5, (4,)), jnp.int32),
+        "question": jnp.asarray(rs.randint(1, 39, (4, 12)), jnp.int32),
+        "answer": jnp.asarray(rs.randint(0, 28, (4,)), jnp.int32),
+    }
+    state = create_train_state(model, cfg, opt, jax.random.key(0), batch, image_cache=cache)
+    step = jax.jit(partial(train_step, model=model, cfg=cfg, optimizer=opt))
+    state2, metrics = step(state, batch, cache)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # padded uint8 batch["image"] takes the same fused branch
+    batch2 = dict(batch)
+    del batch2["image_idx"]
+    batch2["image"] = jnp.asarray(rs.randint(0, 256, (4, 48, 48, 3), dtype=np.uint8))
+    state3, metrics2 = step(state, batch2, None)
+    assert np.isfinite(float(metrics2["loss"]))
