@@ -69,6 +69,47 @@ def get_torch_baseline() -> float:
         return float("nan")
 
 
+def reference_gpu_bound_qps() -> dict:
+    """FLOP-model upper bounds for the literal reference algorithm on GPUs.
+
+    The reference (pure fp32 PyTorch, pre-AMP: no .half()/autocast anywhere)
+    materializes the (B, n^2, 2c+h) pair tensor and runs the g/f/conv/LSTM
+    stack in fp32. Per-question training FLOPs (fwd + ~2x bwd) divided by a
+    GPU's peak give a PERFECT-MFU bound — generous to the GPU, since the
+    pair materialization is partially bandwidth-bound and DataParallel adds
+    scatter/gather overhead; a real run lands well below it. Our measured
+    q/s over these bounds is therefore a LOWER bound on the true speedup.
+    """
+    from rnet.config import load_config
+
+    cfg = load_config("original-fp")
+    n = cfg.grid * cfg.grid
+    c = cfg.obj_feat_dim
+    h = cfg.lstm_hidden
+    # g chain over n^2 pairs (layer 0 sees the 2c+h concat row)
+    dims = [2 * c + h] + list(cfg.g_layers)
+    g = sum(2 * n * n * dims[i] * dims[i + 1] for i in range(len(cfg.g_layers)))
+    fdims = [cfg.g_layers[-1], *cfg.f_layers, cfg.n_answers]
+    f = sum(2 * a * b for a, b in zip(fdims[:-1], fdims[1:]))
+    # conv stack (stride-2, same channels) + LSTM over question_max_len
+    conv, s, cin = 0, cfg.image_size, 3
+    for ch in cfg.conv_channels:
+        s //= 2
+        conv += 2 * s * s * ch * cfg.conv_kernel**2 * cin
+        cin = ch
+    lstm = 2 * 4 * cfg.question_max_len * h * (cfg.lstm_word_emb + h)
+    fwd = g + f + conv + lstm  # FLOPs per question, forward
+    train = 3 * fwd
+    bounds = {
+        "v100_fp32_peak_tflops": 15.7,
+        "a100_tf32_peak_tflops": 156.0,
+        "train_flops_per_question": train,
+        "v100_fp32_bound_qps": round(15.7e12 / train),
+        "a100_tf32_bound_qps": round(156.0e12 / train),
+    }
+    return bounds
+
+
 def _bench_setup(rl_impl: str, batch_size: int):
     """(cfg, model, optimizer, state, batch) for the flagship fp model."""
     import jax
@@ -164,6 +205,7 @@ def main():
         xla_alg = float("nan")
     torch_qps = get_torch_baseline()
     vs_baseline = fused / torch_qps if torch_qps == torch_qps else -1.0
+    gpu = reference_gpu_bound_qps()
     print(
         json.dumps(
             {
@@ -176,6 +218,11 @@ def main():
                 "baseline_def": "torch-CPU oracle train step (reference algorithm in this container)",
                 "infer_qps": round(infer, 1) if infer == infer else None,
                 "xla_impl_train_qps": round(xla_alg, 1) if xla_alg == xla_alg else None,
+                # perfect-MFU FLOP-model bounds for the literal fp32 reference
+                # algorithm on GPU hardware (see reference_gpu_bound_qps):
+                # measured/bound is a LOWER bound on the true per-chip speedup
+                "vs_v100_fp32_flop_bound": round(fused / gpu["v100_fp32_bound_qps"], 2),
+                "vs_a100_tf32_flop_bound": round(fused / gpu["a100_tf32_bound_qps"], 2),
             }
         )
     )
