@@ -276,9 +276,18 @@ class Trainer:
         acc = EvalAccumulator(self.dicts, categories=self._val_categories())
         C = max(1, self.log_interval)
         t0 = time.time()
+
+        def _drain(pending):
+            # fetch one chunk behind the dispatch so the relay round-trip
+            # overlaps the next chunk's compute (same pattern as training)
+            outs, qidx = pending
+            pred, label, vld, nll = (np.asarray(o) for o in outs)
+            acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum(), qidx=qidx)
+
+        pending = None
         with self.mesh, pmesh.pair_sharding(self.mesh):
+            sh = self._idx_sharding()
             for c0 in range(0, nb, C):
-                sh = self._idx_sharding()
                 outs = self.jit_eval_chunk(
                     self.state,
                     jax.device_put(idx[c0 : c0 + C], sh),
@@ -286,11 +295,11 @@ class Trainer:
                     self.val_data,
                     self.val_cache,
                 )
-                pred, label, vld, nll = (np.asarray(o) for o in outs)
-                acc.update(
-                    pred.ravel(), label.ravel(), vld.ravel(), nll.sum(),
-                    qidx=idx[c0 : c0 + C].ravel(),
-                )
+                if pending is not None:
+                    _drain(pending)
+                pending = (outs, idx[c0 : c0 + C].ravel())
+            if pending is not None:
+                _drain(pending)
         dt = time.time() - t0
         self.log(
             f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "
