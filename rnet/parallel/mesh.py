@@ -119,6 +119,32 @@ def replicate_state(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a host array that is IDENTICAL on every process as a global
+    array with `sharding`. Single-process: plain device_put. Multi-host: each
+    process materializes only its addressable shards (no cross-host traffic);
+    callers guarantee cross-process value equality (dataset files + seeded
+    permutations are process-independent in the device pipeline).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a global array to the host on every process (multi-host safe):
+    replicated arrays read the local shard; sharded arrays allgather over DCN
+    (jax.experimental.multihost_utils)."""
+    if jax.process_count() == 1 or not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(jax.device_get(x.addressable_data(0)))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 # ---- pair-axis sharding context (consumed by models/relational.py) ----
 
 

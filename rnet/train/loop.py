@@ -98,7 +98,7 @@ class Trainer:
         # padded uint8 images live in HBM once; batches carry only indices.
         def _device_cache(ds):
             if getattr(ds, "serve_indices", False):
-                return jax.device_put(
+                return pmesh.put_global(
                     np.asarray(ds.images), pmesh.replicated(self.mesh)
                 )
             return None
@@ -111,11 +111,13 @@ class Trainer:
         # device-resident per-question data + chunked multi-step dispatch:
         # the whole epoch's tokens/answers/(objects|image indices) live in
         # HBM and each jit call runs log_interval steps over an index block
-        # (see steps.make_chunked_steps). Single-process only.
+        # (see steps.make_chunked_steps). Multi-host: every process loads the
+        # same dataset files and the same seeded permutations, so the global
+        # arrays/index blocks assemble without cross-host traffic
+        # (pmesh.put_global) and results come back via fetch_global.
         self.train_data = self.val_data = None
         if (
             device_data
-            and jax.process_count() == 1
             and hasattr(train_ds, "device_arrays")
             and train_ds.device_arrays() is not None
         ):
@@ -130,7 +132,8 @@ class Trainer:
                 arrs = dict(ds.device_arrays())
                 if self.invert:
                     arrs["question"] = invert_questions(arrs["question"])
-                return jax.device_put(arrs, pmesh.replicated(self.mesh))
+                repl = pmesh.replicated(self.mesh)
+                return {k: pmesh.put_global(v, repl) for k, v in arrs.items()}
 
             self.train_data = _prep(train_ds)
             self.val_data = (
@@ -228,7 +231,7 @@ class Trainer:
             # the ~0.1-0.2 s relay round-trip overlaps the next chunk's compute
             # (one-chunk lag keeps the dispatch queue shallow, see CLAUDE.md)
             ms, done = pending
-            ms = np.asarray(ms)
+            ms = pmesh.fetch_global(ms)
             all_ms.append(ms)
             self.log(
                 f"Train Epoch: {epoch} [{done}/{nb}] "
@@ -243,7 +246,7 @@ class Trainer:
         pending = None
         with self.mesh, pmesh.pair_sharding(self.mesh), profile_trace(prof_dir):
             for c0 in range(0, nb, C):
-                idx = jax.device_put(order[c0 : c0 + C], self._idx_sharding())
+                idx = pmesh.put_global(order[c0 : c0 + C], self._idx_sharding())
                 self.state, ms = self.jit_train_chunk(
                     self.state, idx, self.train_data, self.train_cache
                 )
@@ -281,7 +284,7 @@ class Trainer:
             # fetch one chunk behind the dispatch so the relay round-trip
             # overlaps the next chunk's compute (same pattern as training)
             outs, qidx = pending
-            pred, label, vld, nll = (np.asarray(o) for o in outs)
+            pred, label, vld, nll = (pmesh.fetch_global(o) for o in outs)
             acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum(), qidx=qidx)
 
         pending = None
@@ -290,8 +293,8 @@ class Trainer:
             for c0 in range(0, nb, C):
                 outs = self.jit_eval_chunk(
                     self.state,
-                    jax.device_put(idx[c0 : c0 + C], sh),
-                    jax.device_put(valid[c0 : c0 + C], sh),
+                    pmesh.put_global(idx[c0 : c0 + C], sh),
+                    pmesh.put_global(valid[c0 : c0 + C], sh),
                     self.val_data,
                     self.val_cache,
                 )

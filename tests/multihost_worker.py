@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--clevr-dir", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--pipeline", choices=("standard", "device"), default="standard")
     args = ap.parse_args()
 
     if args.world == 1:  # comparison topology: one process, 8 local devices
@@ -96,7 +97,10 @@ def main():
         checkpoint_dir=os.path.join(os.path.dirname(args.out), f"ck{args.rank}"),
         log_interval=1,
         log_fn=lambda *a: None,
+        device_data=(args.pipeline == "device"),
     )
+    if args.pipeline == "device":
+        assert trainer.train_data is not None, "device pipeline did not engage"
     history = trainer.fit(epochs=2, eval_every=2, save_every=0)
     last = history[-1]
 

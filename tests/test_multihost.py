@@ -36,10 +36,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(fixture_dir, tmp_path, world: int, timeout=600):
+def _run_workers(fixture_dir, tmp_path, world: int, timeout=600, pipeline="standard"):
     """Launch `world` worker processes (4 virtual CPU devices each)."""
     port = _free_port()
-    outs = [tmp_path / f"mh_{world}_{r}.json" for r in range(world)]
+    outs = [tmp_path / f"mh_{pipeline}_{world}_{r}.json" for r in range(world)]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize: CPU-only
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -50,6 +50,7 @@ def _run_workers(fixture_dir, tmp_path, world: int, timeout=600):
                 "--rank", str(r), "--world", str(world),
                 "--coordinator", f"localhost:{port}",
                 "--clevr-dir", str(fixture_dir), "--out", str(outs[r]),
+                "--pipeline", pipeline,
             ],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -88,3 +89,30 @@ def test_two_process_training_matches_single_process(fixture_dir, tmp_path):
         single[0]["param_digest"], rel=1e-3
     )
     assert multi[0]["n_train_batches"] >= 2  # it actually stepped
+
+
+@pytest.mark.slow
+def test_two_process_device_pipeline_matches_single_process(fixture_dir, tmp_path):
+    """Device-resident pipeline (HBM data + chunked dispatch) under multi-host:
+    put_global assembles replicated data arrays and P(None,'data') index blocks
+    across processes; fetch_global reassembles sharded eval outputs over the
+    DCN-analog. The seeded epoch permutation is process-independent, so the
+    2-process run must match the single-process 8-device run exactly (modulo
+    reduction-layout fp noise)."""
+    multi = _run_workers(fixture_dir, tmp_path, world=2, pipeline="device")
+    single = _run_workers(fixture_dir, tmp_path, world=1, pipeline="device")
+
+    assert all(r["process_count"] == 2 for r in multi)
+    assert all(r["global_devices"] == 8 for r in multi)
+
+    for key in ("train_loss", "val_acc", "val_nll"):
+        assert multi[0][key] == pytest.approx(multi[1][key], abs=1e-5), key
+        assert multi[0][key] == pytest.approx(single[0][key], rel=2e-4, abs=2e-4), key
+
+    assert multi[0]["param_digest"] == pytest.approx(
+        multi[1]["param_digest"], rel=1e-6
+    )
+    assert multi[0]["param_digest"] == pytest.approx(
+        single[0]["param_digest"], rel=1e-3
+    )
+    assert multi[0]["n_train_batches"] >= 2
