@@ -285,12 +285,12 @@ def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
     #   last layer dequants to REAL values (no requant)
     requant = jnp.concatenate([127.0 / c[1:], jnp.ones((1,))])  # (L-1,)
     m = (c * (sw / 127.0) / 127.0) * requant  # (L-1,)
-    #   biases/injection prescaled into each layer's target domain
-    bscale = jnp.concatenate([127.0 / c[1:], jnp.ones((1,))])
-    b_f = bs.astype(_F32) * bscale[:, None]
+    #   biases/injection prescaled into each layer's target domain (the same
+    #   requant factor: the last layer's bias stays in real values)
+    b_f = bs.astype(_F32) * requant[:, None]
     qa_f = qa.astype(_F32)
     if 0 < inject < L:
-        qa_f = qa_f * bscale[inject - 1]
+        qa_f = qa_f * requant[inject - 1]
     kern = functools.partial(
         _fwd_kernel_int8, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj
     )

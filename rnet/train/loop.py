@@ -225,6 +225,10 @@ class Trainer:
         from ..utils.profiling import profile_trace
 
         prof_dir = self.profile_dir if epoch == self.profile_epoch else None
+        # host-side step counter: reading self.state.step inside _drain would
+        # block on the just-dispatched chunk's output (killing the one-chunk
+        # fetch lag) and would stamp chunk k's metrics with chunk k+1's step
+        step0 = int(self.state.step)
 
         def _drain(pending):
             # fetch the PREVIOUS chunk's metrics after dispatching the next:
@@ -238,7 +242,7 @@ class Trainer:
                 f"Loss: {ms[-1, 0]:.4f} Acc: {ms[-1, 1]:.3f} LR: {lr:.2e} BS: {bs}"
             )
             self.scalars.write(
-                int(self.state.step),
+                step0 + done,
                 {"train/loss": float(ms[-1, 0]), "train/accuracy": float(ms[-1, 1]),
                  "train/grad_norm": float(ms[-1, 2]), "train/lr": lr},
             )

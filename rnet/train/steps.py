@@ -109,7 +109,7 @@ def _train_inputs(batch, cfg: ModelConfig, image_cache, aug_rng):
     (rnet/kernels/augment.py) instead of ~12 ms of XLA gathers+rolls per
     512-batch; the model then skips its in-forward augmentation.
     """
-    if cfg.state_description or not _fused_augment_ok(cfg):
+    if not _fused_augment_ok(cfg):  # includes every state_description config
         return _inputs_of(batch, cfg, image_cache), False
     from ..kernels.augment import gather_augment
     from ..parallel.mesh import active_mesh

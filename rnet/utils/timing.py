@@ -38,12 +38,23 @@ def device_loop_time(
         # differenced probe: a raw T(K)/K estimate is dominated by the ~0.2 s
         # dispatch constant for ms-scale steps, which would pick K far too
         # small. (T(96)-T(16))/80 cancels the constant; it only needs to be
-        # right to ~2x for K selection.
+        # right to ~2x for K selection. The probe difference itself sits in
+        # the noise-dominated regime, so guard against dispatch hiccups
+        # (min-of-3, and the per-step time can never exceed T(96)/96 with the
+        # constant included): a negative/absurd difference falls back to that
+        # upper bound rather than producing a pathological K. The k2 cap
+        # bounds worst-case probe cost; measurements we care about are
+        # >=0.1 ms/step, where cap and target never conflict.
         pa, pb = make_loop(16), make_loop(96)
         float(pa())  # compile
         float(pb())
-        est = max((min(_run(pb) for _ in range(2)) - min(_run(pa) for _ in range(2))) / 80, 2e-6)
-        k2 = int(min(max(target_s / est, 64), 200_000))
+        ta = min(_run(pa) for _ in range(3))
+        tb = min(_run(pb) for _ in range(3))
+        est_ub = tb / 96
+        est = (tb - ta) / 80
+        if not (0 < est <= est_ub):
+            est = est_ub
+        k2 = int(min(max(target_s / est, 64), 50_000))
         k1 = max(k2 // 5, 1)
     f1, f2 = make_loop(k1), make_loop(k2)
     float(f1())  # compile

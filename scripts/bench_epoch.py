@@ -60,6 +60,7 @@ def main():
     augment_impl = args[2] if len(args) > 2 else "auto"
 
     from rnet.config import load_config
+    from rnet.data.vocab import Dictionaries
     from rnet.train.loop import Trainer
     from rnet.train.schedules import DoublingSchedule
 
@@ -68,8 +69,11 @@ def main():
         overrides={"device_augment": True, "augment_impl": augment_impl},
     )
     ds = SyntheticDeviceDataset(n_questions=n_q)
+    dicts = Dictionaries(
+        {f"w{i}": i for i in range(1, 90)}, {f"a{i}": i for i in range(28)}
+    )
     trainer = Trainer(
-        cfg, vocab_size=90, train_ds=ds, val_ds=ds, dicts=None,
+        cfg, vocab_size=90, train_ds=ds, val_ds=ds, dicts=dicts,
         lr=DoublingSchedule(1e-4, gamma=1.0),
         bs=DoublingSchedule(512, gamma=1.0),
         checkpoint_dir="/tmp/bench_epoch_ckpt",
@@ -91,6 +95,10 @@ def main():
             flush=True,
         )
     print(f"steady-state: {max(rates):.0f} questions/s wall-clock (epoch 1 incl. compiles: {stats1['qps']:.0f})")
+    # eval wall-clock (pipelined chunk fetches; device pipeline, n_q questions)
+    trainer.eval_epoch(1)  # compiles
+    ev = max(trainer.eval_epoch(e)["val_qps"] for e in (2, 3))
+    print(f"eval steady-state: {ev:.0f} questions/s wall-clock")
 
 
 if __name__ == "__main__":
