@@ -50,18 +50,23 @@ def device_loop_time(
         float(pb())
         ta = min(_run(pa) for _ in range(3))
         tb = min(_run(pb) for _ in range(3))
-        est_ub = tb / 96
-        est = (tb - ta) / 80
-        if not (0 < est <= est_ub):
-            est = est_ub
-        k2 = int(min(max(target_s / est, 64), 50_000))
-        k1 = max(k2 // 5, 1)
+        k1, k2 = _pick_k(ta, tb, target_s)
     f1, f2 = make_loop(k1), make_loop(k2)
     float(f1())  # compile
     float(f2())
     t1 = min(_run(f1) for _ in range(repeats))
     t2 = min(_run(f2) for _ in range(repeats))
     return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def _pick_k(ta: float, tb: float, target_s: float) -> tuple[int, int]:
+    """(k1, k2) from the probe times T(16)=ta, T(96)=tb (pure; unit-tested)."""
+    est_ub = tb / 96  # per-step can never exceed this (constant included)
+    est = (tb - ta) / 80
+    if not (0 < est <= est_ub):
+        est = est_ub  # dispatch hiccup poisoned the difference
+    k2 = int(min(max(target_s / est, 64), 50_000))
+    return max(k2 // 5, 1), k2
 
 
 def _run(f):
