@@ -60,15 +60,10 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-def _augment_kernel(
-    idx_ref, ang_ref, off_ref, img_ref, out_ref, *, S, out_size, C, kx, ky
-):
-    b = pl.program_id(0)
+def _augment_one(img_ref, ang, oy, ox, *, S, out_size, C, kx, ky):
+    """Shear-rotate + crop ONE image (kernel body helper)."""
     # Mosaic has no unsigned->float cast; hop through int32 (values < 256)
     img = img_ref[0].astype(jnp.int32).astype(_F32) * (1.0 / 255.0)  # (S, S*C)
-    ang = ang_ref[b]
-    oy = off_ref[b, 0]
-    ox = off_ref[b, 1]
     cy = oy.astype(_F32) + (out_size - 1) / 2.0
     cx = ox.astype(_F32) + (out_size - 1) / 2.0
     a = jnp.tan(ang / 2.0)
@@ -103,26 +98,47 @@ def _augment_kernel(
         x4 = jnp.concatenate(
             [x4, jnp.zeros((out_size, Wp - W), x4.dtype)], axis=1
         )
-    x5 = pltpu.roll(x4, (Wp - C * ox) % Wp, 1)[:, : out_size * C]
-    out_ref[0] = x5.astype(out_ref.dtype)
+    return pltpu.roll(x4, (Wp - C * ox) % Wp, 1)[:, : out_size * C]
 
 
-def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret):
+def _augment_kernel(
+    idx_ref, ang_ref, off_ref, *refs, S, out_size, C, kx, ky, G
+):
+    # refs = G image refs (each its own scalar-prefetch-gathered block) + out
+    img_refs, out_ref = refs[:G], refs[G]
+    b = pl.program_id(0)
+    for g in range(G):
+        q = b * G + g  # sample index
+        out_ref[g] = _augment_one(
+            img_refs[g], ang_ref[q], off_ref[q, 0], off_ref[q, 1],
+            S=S, out_size=out_size, C=C, kx=kx, ky=ky,
+        ).astype(out_ref.dtype)
+
+
+def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret,
+                  group: int = 4):
     N, S, _, C = cache.shape
     B = idx.shape[0]
     kx, ky = _shear_radii(S, out_size)
+    # G samples per grid step amortize per-step setup/overhead; each sample
+    # still arrives as its own gathered block (G independent index_maps)
+    G = group if B % group == 0 else 1
     kern = functools.partial(
-        _augment_kernel, S=S, out_size=out_size, C=C, kx=kx, ky=ky
+        _augment_kernel, S=S, out_size=out_size, C=C, kx=kx, ky=ky, G=G
     )
     flat = cache.reshape(N, S, S * C)  # minor-dims merge: no relayout
+
+    def mk_imap(g):
+        return lambda b, idx_ref, ang_ref, off_ref: (idx_ref[b * G + g], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # idx, angles, offsets
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, S, S * C), lambda b, idx_ref, ang_ref, off_ref: (idx_ref[b], 0, 0)),
+            pl.BlockSpec((1, S, S * C), mk_imap(g)) for g in range(G)
         ],
         out_specs=pl.BlockSpec(
-            (1, out_size, out_size * C), lambda b, *_: (b, 0, 0)
+            (G, out_size, out_size * C), lambda b, *_: (b, 0, 0)
         ),
     )
     out = pl.pallas_call(
@@ -130,7 +146,7 @@ def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, out_size, out_size * C), out_dtype),
         interpret=interpret,
-    )(idx, angles.astype(_F32), offs.astype(jnp.int32), flat)
+    )(idx, angles.astype(_F32), offs.astype(jnp.int32), *([flat] * G))
     return out.reshape(B, out_size, out_size, C)
 
 
