@@ -47,6 +47,33 @@ _F32 = jnp.float32
 # |sx| <= 80*tan(1.4 deg) = 1.96 -> KX=2;  |sy| <= 80*sin(2.8 deg) = 3.91 -> KY=4.
 MAX_DEG = 2.8
 _PAD_CANVAS = 144
+IMG_CHANNELS = 3  # CLEVR renders RGB; fixed across the data layer
+
+
+def pad_flat_cache(images):
+    """(N, S, S, C) uint8 -> (N, S, Wp) lane-padded flat form.
+
+    DMA slices must be 128-lane-aligned (Mosaic tiling), and padding inside
+    jit would duplicate a multi-GB cache in HBM (OOM at real-CLEVR scale:
+    70k x 144^2 x 3 = 4.35 GB). Padding ONCE on the host stores the cache in
+    exactly the layout the TPU would pad it to anyway ((8,128)-tiled uint8),
+    so the flat form costs no extra HBM over the 4-D form. Consumers:
+    the DMA-gather augment kernel reads rows directly; everything else
+    goes through unflatten_rows."""
+    import numpy as np
+
+    N, S, _, C = images.shape
+    W = S * C
+    Wp = ((W + 127) // 128) * 128
+    flat = np.zeros((N, S, Wp), dtype=np.uint8)
+    flat[:, :, :W] = images.reshape(N, S, W)
+    return flat
+
+
+def unflatten_rows(rows):
+    """(B, S, Wp) lane-padded flat rows -> (B, S, S, C) images (jit-safe)."""
+    B, S, _ = rows.shape
+    return rows[:, :, : S * IMG_CHANNELS].reshape(B, S, S, IMG_CHANNELS)
 
 
 def _shear_radii(canvas: int, out_size: int) -> tuple[int, int]:
@@ -60,10 +87,8 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-def _augment_one(img_ref, ang, oy, ox, *, S, out_size, C, kx, ky):
-    """Shear-rotate + crop ONE image (kernel body helper)."""
-    # Mosaic has no unsigned->float cast; hop through int32 (values < 256)
-    img = img_ref[0].astype(jnp.int32).astype(_F32) * (1.0 / 255.0)  # (S, S*C)
+def _augment_one(img, ang, oy, ox, *, S, out_size, C, kx, ky):
+    """Shear-rotate + crop ONE normalized f32 (S, S*C) image (kernel helper)."""
     cy = oy.astype(_F32) + (out_size - 1) / 2.0
     cx = ox.astype(_F32) + (out_size - 1) / 2.0
     a = jnp.tan(ang / 2.0)
@@ -101,6 +126,11 @@ def _augment_one(img_ref, ang, oy, ox, *, S, out_size, C, kx, ky):
     return pltpu.roll(x4, (Wp - C * ox) % Wp, 1)[:, : out_size * C]
 
 
+def _norm(img_u8):
+    # Mosaic has no unsigned->float cast; hop through int32 (values < 256)
+    return img_u8.astype(jnp.int32).astype(_F32) * (1.0 / 255.0)
+
+
 def _augment_kernel(
     idx_ref, ang_ref, off_ref, *refs, S, out_size, C, kx, ky, G
 ):
@@ -110,23 +140,105 @@ def _augment_kernel(
     for g in range(G):
         q = b * G + g  # sample index
         out_ref[g] = _augment_one(
-            img_refs[g], ang_ref[q], off_ref[q, 0], off_ref[q, 1],
+            _norm(img_refs[g][0][:, : S * C]),  # drop lane pad if flat form
+            ang_ref[q], off_ref[q, 0], off_ref[q, 1],
+            S=S, out_size=out_size, C=C, kx=kx, ky=ky,
+        ).astype(out_ref.dtype)
+
+
+def _augment_kernel_dma(
+    idx_ref, ang_ref, off_ref, hbm_ref, out_ref, scratch, sems,
+    *, S, out_size, C, kx, ky, G, depth, B
+):
+    """Deep-buffered variant: the per-sample image fetch is a manual DMA with
+    `depth` requests in flight. The index_map formulation (above) leaves only
+    Mosaic's double buffering between the gather and the compute; on large
+    HBM-resident caches (multi-GB) the per-DMA latency grows past one grid
+    step's compute and the pipeline stalls — depth slots hide ~depth/G steps
+    of DMA latency instead of ~1."""
+    b = pl.program_id(0)
+
+    def dma(sample, slot):
+        return pltpu.make_async_copy(
+            hbm_ref.at[sample], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(b == 0)
+    def _():
+        for d in range(depth):  # warm-up: first `depth` samples
+            dma(idx_ref[d], d).start()
+
+    for g in range(G):
+        q = b * G + g  # sample index
+        slot = jax.lax.rem(q, depth)
+        dma(idx_ref[q], slot).wait()
+        # the cache rows are lane-padded to a 128 multiple (DMA slices must
+        # be tile-aligned); the image occupies the first S*C lanes
+        img = _norm(scratch[slot][:, : S * C])  # materialize before refill
+        nq = q + depth
+
+        @pl.when(nq < B)
+        def _():
+            dma(idx_ref[nq], slot).start()
+
+        out_ref[g] = _augment_one(
+            img, ang_ref[q], off_ref[q, 0], off_ref[q, 1],
             S=S, out_size=out_size, C=C, kx=kx, ky=ky,
         ).astype(out_ref.dtype)
 
 
 def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret,
-                  group: int = 4):
-    N, S, _, C = cache.shape
+                  group: int = 4, depth: int = 16):
+    if cache.ndim == 3:  # pre-padded flat form (pad_flat_cache)
+        N, S, Wp = cache.shape
+        C = IMG_CHANNELS
+        flat = cache
+    else:
+        N, S, _, C = cache.shape
+        Wp = ((S * C + 127) // 128) * 128
+        flat = cache.reshape(N, S, S * C)  # minor-dims merge: no relayout
     B = idx.shape[0]
     kx, ky = _shear_radii(S, out_size)
-    # G samples per grid step amortize per-step setup/overhead; each sample
-    # still arrives as its own gathered block (G independent index_maps)
+    # G samples per grid step amortize per-step setup/overhead
     G = group if B % group == 0 else 1
+    depth = min(depth, B)
+    if depth >= 2 * G and not interpret:
+        # manual deep-buffered DMA gather (see _augment_kernel_dma). Not
+        # lowered in interpret mode (semaphore semantics differ on CPU) —
+        # the TPU-mode test run (RNET_TEST_TPU=1 tests/test_cache_augment.py)
+        # pins this kernel against the same jnp oracle.
+        # DMA slices must be lane-tile-aligned: large caches arrive
+        # pre-padded from the host (pad_flat_cache — padding HERE would
+        # duplicate them in HBM); 4-D callers (tests, small caches) pad
+        # in-jit.
+        if flat.shape[2] != Wp:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, Wp - flat.shape[2])))
+        kern = functools.partial(
+            _augment_kernel_dma, S=S, out_size=out_size, C=C, kx=kx, ky=ky,
+            G=G, depth=depth, B=B,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # idx, angles, offsets
+            grid=(B // G,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (G, out_size, out_size * C), lambda b, *_: (b, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((depth, S, Wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, out_size, out_size * C), out_dtype),
+        )(idx, angles.astype(_F32), offs.astype(jnp.int32), flat)
+        return out.reshape(B, out_size, out_size, C)
+
     kern = functools.partial(
         _augment_kernel, S=S, out_size=out_size, C=C, kx=kx, ky=ky, G=G
     )
-    flat = cache.reshape(N, S, S * C)  # minor-dims merge: no relayout
 
     def mk_imap(g):
         return lambda b, idx_ref, ang_ref, off_ref: (idx_ref[b * G + g], 0, 0)
@@ -135,7 +247,7 @@ def _fused_pallas(cache, idx, angles, offs, out_size, out_dtype, interpret,
         num_scalar_prefetch=3,  # idx, angles, offsets
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, S, S * C), mk_imap(g)) for g in range(G)
+            pl.BlockSpec((1, S, flat.shape[2]), mk_imap(g)) for g in range(G)
         ],
         out_specs=pl.BlockSpec(
             (G, out_size, out_size * C), lambda b, *_: (b, 0, 0)
@@ -175,7 +287,7 @@ def gather_augment_reference(cache, idx, angles, offs, out_size, out_dtype=jnp.b
 
 
 def gather_augment(
-    cache,  # (N, S, S, C) uint8, HBM-resident
+    cache,  # (N, S, S, C) uint8 HBM-resident, or (N, S, Wp) pad_flat_cache form
     idx,  # (B,) int32 rows to augment
     rng,  # per-step PRNG key
     out_size: int,
@@ -192,7 +304,7 @@ def gather_augment(
     `rng` — reproducible from the training seed.
     """
     B = idx.shape[0]
-    N, S, _, C = cache.shape
+    S = cache.shape[1]
     margin = S - out_size
     kr, kc = jax.random.split(rng)
     angles = jax.random.uniform(
@@ -201,6 +313,11 @@ def gather_augment(
     offs = jax.random.randint(kc, (B, 2), 0, margin + 1, jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or interpret):
+        if cache.ndim == 3:  # unflatten the gathered rows only (jit-safe)
+            return gather_augment_reference(
+                unflatten_rows(cache[idx]), jnp.arange(B), angles, offs,
+                out_size, out_dtype,
+            )
         return gather_augment_reference(cache, idx, angles, offs, out_size, out_dtype)
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import PartitionSpec as P

@@ -98,9 +98,20 @@ class Trainer:
         # padded uint8 images live in HBM once; batches carry only indices.
         def _device_cache(ds):
             if getattr(ds, "serve_indices", False):
-                return pmesh.put_global(
-                    np.asarray(ds.images), pmesh.replicated(self.mesh)
-                )
+                imgs = np.asarray(ds.images)
+                if (
+                    not cfg.state_description
+                    and cfg.device_augment
+                    and imgs.ndim == 4
+                    and imgs.shape[1] > cfg.image_size
+                ):
+                    # store the train canvas in the lane-padded flat form the
+                    # DMA-gather augment kernel reads directly — padding
+                    # in-jit would duplicate a multi-GB cache in HBM
+                    from ..kernels.augment import pad_flat_cache
+
+                    imgs = pad_flat_cache(imgs)
+                return pmesh.put_global(imgs, pmesh.replicated(self.mesh))
             return None
 
         self.train_cache = _device_cache(train_ds)

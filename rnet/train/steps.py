@@ -86,7 +86,12 @@ def _inputs_of(batch: Dict[str, jnp.ndarray], cfg: ModelConfig, image_cache=None
     if image_cache is not None and "image_idx" in batch:
         # device-resident pipeline: gather this batch's (padded) images from
         # the HBM cache — only int32 indices ever cross host->device
-        return image_cache[batch["image_idx"]]
+        rows = image_cache[batch["image_idx"]]
+        if rows.ndim == 3:  # lane-padded flat train cache (pad_flat_cache)
+            from ..kernels.augment import unflatten_rows
+
+            rows = unflatten_rows(rows)
+        return rows
     return batch["image"]
 
 

@@ -237,6 +237,56 @@ def test_fused_augment_kernel_interpret_matches_oracle():
     np.testing.assert_allclose(ker, ref, atol=1e-5)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RNET_TEST_TPU"), reason="real-chip kernel path"
+)
+@pytest.mark.parametrize("b,flat", [(8, False), (64, False), (64, True)])
+def test_fused_augment_kernel_tpu_matches_oracle(b, flat):
+    """The COMPILED kernel (non-interpret: the deep-buffered DMA-gather
+    variant on TPU) == the jnp oracle, for both the 4-D cache and the
+    lane-padded flat form the device pipeline stores (pad_flat_cache). The
+    interpret test above pins the shear math; this pins the manual DMA
+    pipeline + lane-padded slicing."""
+    from rnet.kernels.augment import (
+        MAX_DEG,
+        _fused_pallas,
+        gather_augment_reference,
+        pad_flat_cache,
+    )
+
+    cache, idx = _aug_inputs(n=50, b=b)
+    angles = jax.random.uniform(
+        jax.random.key(1), (b,), minval=-MAX_DEG, maxval=MAX_DEG
+    ) * (jnp.pi / 180)
+    offs = jax.random.randint(jax.random.key(2), (b, 2), 0, 17, jnp.int32)
+    karg = jnp.asarray(pad_flat_cache(np.asarray(cache))) if flat else cache
+    ker = np.asarray(_fused_pallas(karg, idx, angles, offs, 128, jnp.float32, False))
+    ref = np.asarray(gather_augment_reference(cache, idx, angles, offs, 128, jnp.float32))
+    np.testing.assert_allclose(ker, ref, atol=1e-5)
+
+
+def test_flat_cache_roundtrip_and_cpu_fallback():
+    """pad_flat_cache/unflatten_rows invert; gather_augment on the flat form
+    (CPU fallback) == on the 4-D form."""
+    from rnet.kernels.augment import (
+        gather_augment,
+        pad_flat_cache,
+        unflatten_rows,
+    )
+
+    cache, idx = _aug_inputs()
+    flat = pad_flat_cache(np.asarray(cache))
+    assert flat.shape == (10, 144, 512)
+    back = np.asarray(unflatten_rows(jnp.asarray(flat)))
+    np.testing.assert_array_equal(back, np.asarray(cache))
+    rng = jax.random.key(3)
+    a = np.asarray(gather_augment(cache, idx, rng, 128, out_dtype=jnp.float32))
+    b = np.asarray(
+        gather_augment(jnp.asarray(flat), idx, rng, 128, out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_fused_augment_zero_angle_center_is_crop():
     """angle=0 must reduce to a pure crop of the normalized image."""
     from rnet.kernels.augment import gather_augment_reference
