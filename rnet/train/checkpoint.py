@@ -22,9 +22,16 @@ from .steps import TrainState
 
 
 class CheckpointManager:
-    """Per-epoch orbax saves under <dir>/<name>_epoch_<N>/ + resume."""
+    """Per-epoch orbax saves under <dir>/<name>_epoch_<N>/ + resume.
 
-    def __init__(self, directory: str, model_name: str, keep: int = 3):
+    keep=0 (default) retains EVERY per-epoch checkpoint, matching the
+    reference (SURVEY.md section 5: save per epoch, resume any — the
+    "pick the best epoch" eval workflow needs old epochs to survive).
+    keep=N>0 opts into garbage-collecting all but the newest N
+    (``--keep-checkpoints`` on the train CLI).
+    """
+
+    def __init__(self, directory: str, model_name: str, keep: int = 0):
         self.directory = os.path.abspath(directory)
         self.model_name = model_name
         os.makedirs(self.directory, exist_ok=True)

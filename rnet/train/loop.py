@@ -67,6 +67,7 @@ class Trainer:
         num_threads: int = 8,
         mesh_spec: Optional[str] = None,
         checkpoint_dir: str = "model",
+        keep_checkpoints: int = 0,
         log_interval: int = 10,
         log_fn=print,
         tb_dir: Optional[str] = None,
@@ -92,7 +93,7 @@ class Trainer:
         self.jit_train, self.jit_eval = make_jitted_steps(
             self.model, cfg, self.optimizer
         )
-        self.ckpt = CheckpointManager(checkpoint_dir, cfg.name)
+        self.ckpt = CheckpointManager(checkpoint_dir, cfg.name, keep=keep_checkpoints)
 
         # device-resident image caches (serve_indices datasets): the decoded
         # padded uint8 images live in HBM once; batches carry only indices.

@@ -106,6 +106,27 @@ def test_checkpoint_roundtrip_and_resume(fixture_dir, dicts, tmp_path):
     )
 
 
+def test_checkpoint_retention_default_keeps_all_and_resumes_old(
+    fixture_dir, dicts, tmp_path
+):
+    """Reference parity: every per-epoch checkpoint survives by default, so
+    resume from an epoch older than the newest 3 works (round-2 keep=3 GC
+    made that silently impossible); keep=N remains an explicit opt-in."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    state = jax.tree.map(np.asarray, tr.state)
+    for epoch in range(1, 7):
+        tr.ckpt.save(state, epoch)
+    assert tr.ckpt.latest_epoch() == 6
+    tr.resume(2)  # would raise under the old keep=3 default (epoch 2 GC'd)
+    assert tr.epoch == 2
+
+    gc = CheckpointManager(str(tmp_path / "gc"), "m", keep=3)
+    for epoch in range(1, 7):
+        gc.save(state, epoch)
+    kept = sorted(os.listdir(gc.directory))
+    assert kept == ["m_epoch_004", "m_epoch_005", "m_epoch_006"]
+
+
 @pytest.mark.slow
 def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)

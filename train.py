@@ -38,6 +38,13 @@ def parse_args(argv=None):
         help="checkpoint path, epoch number, or 'latest' (crash recovery)",
     )
     p.add_argument("--checkpoint-dir", default="model")
+    p.add_argument(
+        "--keep-checkpoints",
+        type=int,
+        default=0,
+        help="garbage-collect all but the newest N checkpoints "
+        "(0, the default, keeps every epoch like the reference)",
+    )
     p.add_argument("--test-results-dir", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--save-every", type=int, default=1)
@@ -91,6 +98,7 @@ def main(argv=None):
         num_threads=args.num_workers,
         mesh_spec=args.mesh,
         checkpoint_dir=args.checkpoint_dir,
+        keep_checkpoints=args.keep_checkpoints,
         log_interval=args.log_interval,
         tb_dir=args.tb_dir,
         profile_dir=args.profile_dir,
