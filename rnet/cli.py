@@ -51,6 +51,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         help="g layer index where the question is concatenated",
     )
     p.add_argument("--pair-dropout", type=float, default=None, dest="pair_dropout")
+    p.add_argument(
+        "--object-mask",
+        dest="object_mask",
+        action="store_true",
+        default=None,
+        help="exclude pad-object pairs from the relational sum "
+        "(state-description models; default off = reference behavior, "
+        "zero-vector pads participate in pairs)",
+    )
     # TPU-native knobs
     p.add_argument(
         "--precision",
@@ -118,6 +127,7 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "dropout",
             "question_injection_position",
             "pair_dropout",
+            "object_mask",
             "compute_dtype",
             "rl_impl",
             "device_augment",

@@ -38,6 +38,9 @@ class ModelConfig:
     # --- state-description path ---
     max_objects: int = 12
     object_dim: int = 18  # 3 coords + 8 color + 3 shape + 2 material + 2 size
+    # exclude pad-object pairs from the relational sum (the reference lets
+    # zero-vector pads participate — SURVEY.md 3.4; default OFF for parity).
+    object_mask: bool = False
 
     # --- question encoder ---
     lstm_word_emb: int = 32

@@ -207,6 +207,7 @@ class ClevrDatasetStateDescription(_QuestionCategoriesMixin):
         """Per-question arrays for the device-resident pipeline."""
         return {
             "objects": self._objects,
+            "n_objects": self._n_objects,
             "question": self._tokens,
             "answer": self._answers,
         }

@@ -295,6 +295,7 @@ def gather_augment(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     mesh=None,
+    batch_local: bool = False,
 ):
     """Random crop + rotation, fused with the cache gather. Returns
     (B, out, out, C) normalized [0,1] images in out_dtype.
@@ -302,6 +303,12 @@ def gather_augment(
     Matches the reference's train transform (SURVEY.md 2.5: RandomCrop after
     Pad, RandomRotation ~2.8 deg) with per-sample offsets/angles drawn from
     `rng` — reproducible from the training seed.
+
+    batch_local=True declares `cache` to be THIS BATCH's images (idx is a
+    permutation-free arange) rather than a replicated split cache: under a
+    multi-device mesh the source then shards over 'data' alongside idx —
+    declaring it replicated would all-gather the full image batch onto every
+    device each step.
     """
     B = idx.shape[0]
     S = cache.shape[1]
@@ -323,8 +330,13 @@ def gather_augment(
         from jax.sharding import PartitionSpec as P
 
         data_axes = tuple(a for a in mesh.axis_names if a != "pairs")
+        cache_spec = (
+            P(data_axes, *([None] * (cache.ndim - 1))) if batch_local else P()
+        )
 
         def f(idx_l, ang_l, off_l, cache_l):
+            if batch_local:  # idx_l carries GLOBAL offsets; rows are local
+                idx_l = jnp.arange(cache_l.shape[0], dtype=jnp.int32)
             return _fused_pallas(
                 cache_l, idx_l, ang_l, off_l, out_size, out_dtype, interpret
             )
@@ -332,7 +344,7 @@ def gather_augment(
         return jax.shard_map(
             f,
             mesh=mesh,
-            in_specs=(P(data_axes), P(data_axes), P(data_axes, None), P()),
+            in_specs=(P(data_axes), P(data_axes), P(data_axes, None), cache_spec),
             out_specs=P(data_axes, None, None, None),
             check_vma=False,
         )(idx, angles, offs, cache)

@@ -245,20 +245,29 @@ def _activation_scales(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
     ~0.1% of the batch FLOPs) and takes per-layer maxima; relu amax scales
     near-linearly across pair subsets, and `margin` absorbs the subsample
     underestimate (values beyond it clip at 127, which relu tolerates).
+
+    The subsample is STRIDED across the batch and object axes (not the batch
+    head): with sorted/easy leading samples a head subsample underestimates
+    the live amax and silently hard-clips the rest of the batch at 127.
     """
     nb = min(u.shape[0], 4)
     no = min(u.shape[1], 16)
+    sb = max(1, u.shape[0] // nb)
+    so = max(1, u.shape[1] // no)
+    sv = max(1, v.shape[1] // no)  # v may hold nj != ni objects (sharded case)
+    ub = u[::sb][:nb, ::so][:, :no].astype(_F32)
+    vb = v[::sb][:nb, ::sv][:, :no].astype(_F32)
     a = jax.nn.relu(
-        u[:nb, :no, None, :].astype(_F32)
-        + v[:nb, None, :no, :].astype(_F32)
-        + s[:nb, None, None, :].astype(_F32)
-    ).reshape(nb, no * no, -1)
+        ub[:, :, None, :]
+        + vb[:, None, :, :]
+        + s[::sb][:nb, None, None, :].astype(_F32)
+    ).reshape(nb, -1, u.shape[-1])
     amaxes = [jnp.max(a)]
     L = ws.shape[0] + 1
     for l in range(1, L):
         pre = a @ ws[l - 1].astype(_F32) + bs[l - 1][None, None, :].astype(_F32)
         if l == inject:
-            pre = pre + qa[:nb, None, :].astype(_F32)
+            pre = pre + qa[::sb][:nb, None, :].astype(_F32)
         a = jax.nn.relu(pre)
         if l < L - 1:
             amaxes.append(jnp.max(a))

@@ -54,6 +54,7 @@ class RelationalLayer(nn.Module):
     question_injection_position: int = 0
     dropout: float = 0.5
     pair_dropout: float = 0.0
+    object_mask: bool = False
     impl: str = "auto"
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -134,8 +135,10 @@ class RelationalLayer(nn.Module):
                 a = jax.nn.relu(a @ w + b)
         return a
 
-    def _pool(self, a, pair_dropout_active: bool):
+    def _pool(self, a, pair_dropout_active: bool, pair_mask=None):
         B, n2, _ = a.shape
+        if pair_mask is not None:  # exclude pad-object pairs (object_mask)
+            a = a * pair_mask[..., None].astype(a.dtype)
         if pair_dropout_active:
             keep = 1.0 - self.pair_dropout
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (B, n2))
@@ -149,18 +152,31 @@ class RelationalLayer(nn.Module):
         x: jnp.ndarray,  # (B, n, c) objects
         q: jnp.ndarray,  # (B, h) question encoding
         train: bool = False,
+        n_objects: jnp.ndarray | None = None,  # (B,) real-object counts
     ) -> jnp.ndarray:
         pair_do = train and self.pair_dropout > 0.0
         impl = self._resolve_impl(x.shape[1])
         use_int8 = impl == "pallas_int8" and not train  # inference-only path
         if impl == "pallas_int8":
             impl = "pallas"
+        pair_mask = None
+        if self.object_mask and n_objects is not None:
+            # keep pair (i, j) iff both are real objects (SURVEY.md 3.4's
+            # optional mask; the reference's unmasked behavior is the default)
+            B, n = x.shape[0], x.shape[1]
+            valid = jnp.arange(n)[None, :] < n_objects[:, None]
+            pair_mask = (valid[:, :, None] & valid[:, None, :]).reshape(B, n * n)
+            if impl == "pallas":
+                raise ValueError(
+                    "object_mask needs the naive/xla impl (the fused kernel "
+                    "pools in-kernel); SD shapes resolve to xla by default"
+                )
         x = x.astype(self.dtype)
         q = q.astype(self.dtype)
         if impl == "naive":
-            pooled = self._pool(self._g_naive(x, q), pair_do)
+            pooled = self._pool(self._g_naive(x, q), pair_do, pair_mask)
         elif impl == "xla":
-            pooled = self._pool(self._g_xla(x, q), pair_do)
+            pooled = self._pool(self._g_xla(x, q), pair_do, pair_mask)
         elif impl == "pallas":
             from ..kernels.pairwise import fused_pairwise_g
             from ..parallel.mesh import active_mesh

@@ -58,6 +58,7 @@ class RN(nn.Module):
             question_injection_position=cfg.question_injection_position,
             dropout=cfg.dropout,
             pair_dropout=cfg.pair_dropout,
+            object_mask=cfg.object_mask,
             impl=cfg.rl_impl,
             dtype=dt,
         )
@@ -107,10 +108,11 @@ class RN(nn.Module):
         question: jnp.ndarray,  # (B, T) int32 token ids
         train: bool = False,
         augmented: bool = False,  # inputs already crop/rotate/normalized
+        n_objects: jnp.ndarray | None = None,  # (B,) SD real-object counts
     ) -> jnp.ndarray:
         objects = self._objects(inputs, train, augmented)
         q = self.text(question)
-        return self.relational(objects, q, train=train)
+        return self.relational(objects, q, train=train, n_objects=n_objects)
 
     def extract(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """g-prefix relational features for image retrieval (ir-* models)."""

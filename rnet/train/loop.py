@@ -97,27 +97,31 @@ class Trainer:
 
         # device-resident image caches (serve_indices datasets): the decoded
         # padded uint8 images live in HBM once; batches carry only indices.
-        def _device_cache(ds):
+        def _device_cache(ds, train: bool):
             if getattr(ds, "serve_indices", False):
                 imgs = np.asarray(ds.images)
                 if (
-                    not cfg.state_description
+                    train
+                    and not cfg.state_description
                     and cfg.device_augment
                     and imgs.ndim == 4
                     and imgs.shape[1] > cfg.image_size
                 ):
-                    # store the train canvas in the lane-padded flat form the
+                    # store the TRAIN canvas in the lane-padded flat form the
                     # DMA-gather augment kernel reads directly — padding
-                    # in-jit would duplicate a multi-GB cache in HBM
+                    # in-jit would duplicate a multi-GB cache in HBM. The val
+                    # cache stays 4-D: eval never enters the augment kernel,
+                    # and flat rows would move 512 padded lanes per 432 used
+                    # (~18% extra HBM gather traffic) just to unflatten in-jit.
                     from ..kernels.augment import pad_flat_cache
 
                     imgs = pad_flat_cache(imgs)
                 return pmesh.put_global(imgs, pmesh.replicated(self.mesh))
             return None
 
-        self.train_cache = _device_cache(train_ds)
+        self.train_cache = _device_cache(train_ds, train=True)
         self.val_cache = (
-            self.train_cache if val_ds is train_ds else _device_cache(val_ds)
+            self.train_cache if val_ds is train_ds else _device_cache(val_ds, train=False)
         )
 
         # device-resident per-question data + chunked multi-step dispatch:

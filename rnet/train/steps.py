@@ -120,17 +120,21 @@ def _train_inputs(batch, cfg: ModelConfig, image_cache, aug_rng):
     from ..parallel.mesh import active_mesh
 
     if image_cache is not None and "image_idx" in batch:
-        src, idx = image_cache, batch["image_idx"]
+        src, idx, batch_local = image_cache, batch["image_idx"], False
     elif "image" in batch and batch["image"].dtype == jnp.uint8 and (
         batch["image"].shape[1] > cfg.image_size
     ):
+        # per-batch padded images (standard pipeline): the source is
+        # data-sharded with the batch, not a replicated cache
         src = batch["image"]
         idx = jnp.arange(src.shape[0], dtype=jnp.int32)
+        batch_local = True
     else:  # unpadded/float inputs: nothing for the kernel to crop
         return _inputs_of(batch, cfg, image_cache), False
     out = gather_augment(
         src, idx, aug_rng, cfg.image_size,
         out_dtype=jnp.dtype(cfg.compute_dtype), mesh=active_mesh(),
+        batch_local=batch_local,
     )
     return out, True
 
@@ -164,6 +168,7 @@ def train_step(
             batch["question"],
             train=True,
             augmented=augmented,
+            n_objects=batch.get("n_objects") if cfg.object_mask else None,
             rngs={"dropout": dropout_rng},
             **kw,
         )
@@ -205,7 +210,11 @@ def eval_step(
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     logp = model.apply(
-        variables, _inputs_of(batch, cfg, image_cache), batch["question"], train=False
+        variables,
+        _inputs_of(batch, cfg, image_cache),
+        batch["question"],
+        train=False,
+        n_objects=batch.get("n_objects") if cfg.object_mask else None,
     )
     pred = logp.argmax(-1)
     labels = batch["answer"]

@@ -287,6 +287,30 @@ def test_flat_cache_roundtrip_and_cpu_fallback():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_gather_augment_batch_local_mesh_matches_single_device():
+    """batch_local=True shards the per-batch image source over 'data' (a
+    replicated spec would all-gather the whole image batch every step) and
+    must still produce the single-device result."""
+    from rnet.kernels.augment import gather_augment
+    from rnet.parallel import mesh as pmesh
+
+    cache, _ = _aug_inputs(n=16, b=16)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    rng = jax.random.key(11)
+    mesh = pmesh.make_mesh("data:8")
+    single = np.asarray(gather_augment(cache, idx, rng, 128, out_dtype=jnp.float32))
+    sharded = np.asarray(
+        jax.jit(
+            lambda c, i: gather_augment(
+                c, i, rng, 128, out_dtype=jnp.float32,
+                interpret=True, mesh=mesh, batch_local=True,
+            )
+        )(cache, idx)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_fused_augment_zero_angle_center_is_crop():
     """angle=0 must reduce to a pure crop of the normalized image."""
     from rnet.kernels.augment import gather_augment_reference

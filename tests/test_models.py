@@ -20,6 +20,10 @@ def test_config_grid_math():
     assert cfg.grid == 8 and cfg.n_objects == 64 and cfg.obj_feat_dim == 26
     cfg16 = load_config("stretch-fp-16")
     assert cfg16.grid == 16 and cfg16.n_objects == 256
+    cfg32 = load_config("stretch-fp-32")
+    assert cfg32.grid == 32 and cfg32.n_objects == 1024  # 1,048,576 pairs
+    wide = load_config("wide-fp")
+    assert wide.g_layers == (512,) * 4 and wide.n_objects == 64
     sd = load_config("original-sd")
     assert sd.n_objects == 12 and sd.obj_feat_dim == 18
 
@@ -128,6 +132,58 @@ def test_relational_grads_naive_vs_xla():
         gn,
         gx,
     )
+
+
+@pytest.mark.parametrize("impl", ["naive", "xla"])
+def test_object_mask_excludes_pad_pairs(impl):
+    """--object-mask (SURVEY.md 3.4's optional knob): pad-object pairs leave
+    the relational sum entirely, so (a) garbage in pad rows cannot change the
+    output, and (b) the masked result equals evaluating on the truncated real
+    object set. Default-off behavior (reference parity) is pinned by the
+    garbage-sensitivity check."""
+    B, n, c, h = 3, 6, 5, 8
+    kw = dict(
+        obj_dim=c,
+        q_dim=h,
+        g_layers=(32, 32),
+        f_layers=(16,),
+        n_answers=7,
+        question_injection_position=1,
+        dropout=0.0,
+        dtype=jnp.float32,
+    )
+    n_objects = jnp.asarray([3, 6, 4], jnp.int32)
+    x = jax.random.normal(jax.random.key(1), (B, n, c))
+    row_valid = jnp.arange(n)[None, :] < n_objects[:, None]
+    x_zero = jnp.where(row_valid[..., None], x, 0.0)
+    x_garbage = jnp.where(
+        row_valid[..., None], x, 37.0 * jax.random.normal(jax.random.key(9), x.shape)
+    )
+    q = jax.random.normal(jax.random.key(2), (B, h))
+    masked = RelationalLayer(impl=impl, object_mask=True, **kw)
+    params = masked.init(jax.random.key(0), x_zero, q)
+    out_zero = masked.apply(params, x_zero, q, n_objects=n_objects)
+    out_garbage = masked.apply(params, x_garbage, q, n_objects=n_objects)
+    np.testing.assert_allclose(
+        np.asarray(out_zero), np.asarray(out_garbage), rtol=1e-5, atol=1e-5
+    )
+    # truncated-set equivalence, per sample (n = n_real, no pads at all)
+    for k in range(B):
+        m = int(n_objects[k])
+        out_trunc = masked.apply(
+            params, x_zero[k : k + 1, :m], q[k : k + 1],
+            n_objects=n_objects[k : k + 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_trunc[0]), np.asarray(out_zero[k]), rtol=1e-4, atol=1e-5
+        )
+    # reference default (mask off): zero pads DO contribute (bias terms), and
+    # garbage pads change the answer — the knob is load-bearing.
+    unmasked = RelationalLayer(impl=impl, object_mask=False, **kw)
+    u_zero = unmasked.apply(params, x_zero, q)
+    u_garbage = unmasked.apply(params, x_garbage, q)
+    assert not np.allclose(np.asarray(u_zero), np.asarray(u_garbage), atol=1e-3)
+    assert not np.allclose(np.asarray(u_zero), np.asarray(out_zero), atol=1e-3)
 
 
 def test_pair_dropout_scaling():
