@@ -306,7 +306,9 @@ def generate(
                 # painter's order: back-to-front by y
                 for o in sorted(objs, key=lambda o: o["3d_coords"][1]):
                     _draw_object(_draw, o, W, H)
-            img.save(os.path.join(img_dir, fname))
+            # compress_level=1: pixel-identical PNGs, ~6x faster encode — at
+            # reference scale (70k images) default-level zlib dominates gen time
+            img.save(os.path.join(img_dir, fname), compress_level=1)
 
             scenes.append(
                 {
