@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Collect per-epoch eval dumps of a training campaign into one curve.
+
+The Trainer dumps `val_epochNNN_accuracy.csv` (overall + per-question-family
+accuracy, mean nll) into --test-results-dir every epoch (SURVEY.md 3.1 eval
+reporting). This script folds them into a single `campaign_curve.csv` and a
+matplotlib curve PNG for RESULTS.md.
+
+Usage: python scripts/summarize_campaign.py results/campaign_r3
+"""
+import csv
+import glob
+import os
+import re
+import sys
+
+
+def main(d):
+    rows = []
+    for p in sorted(glob.glob(os.path.join(d, "val_epoch*_accuracy.csv"))):
+        m = re.search(r"val_epoch(\d+)_accuracy", p)
+        with open(p) as f:
+            vals = {r[0]: float(r[1]) for r in csv.reader(f) if r and r[0] != "metric"}
+        vals["epoch"] = int(m.group(1))
+        rows.append(vals)
+    rows.sort(key=lambda r: r["epoch"])
+    cols = ["epoch", "overall_accuracy", "mean_nll"] + sorted(
+        k for k in rows[0] if k.startswith("category_")
+    )
+    out = os.path.join(d, "campaign_curve.csv")
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        for r in rows:
+            w.writerow([r.get(c, "") for c in cols])
+    best = max(rows, key=lambda r: r["overall_accuracy"])
+    print(f"{len(rows)} epochs -> {out}")
+    print(f"best: epoch {best['epoch']} overall {best['overall_accuracy']:.4f}")
+    print(f"last: epoch {rows[-1]['epoch']} overall {rows[-1]['overall_accuracy']:.4f}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ep = [r["epoch"] for r in rows]
+        ax.plot(ep, [r["overall_accuracy"] for r in rows], lw=2, label="overall")
+        for c in cols[3:]:
+            ax.plot(ep, [r.get(c) for r in rows], lw=0.8, alpha=0.6,
+                    label=c.replace("category_", ""))
+        ax.set_xlabel("epoch"); ax.set_ylabel("val accuracy"); ax.set_ylim(0, 1.02)
+        ax.legend(fontsize=7, loc="lower right"); ax.grid(alpha=0.3)
+        png = os.path.join(d, "campaign_curve.png")
+        fig.tight_layout(); fig.savefig(png, dpi=120)
+        print(f"curve -> {png}")
+    except Exception as e:  # matplotlib optional
+        print(f"(no plot: {e})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "results/campaign_r3")
