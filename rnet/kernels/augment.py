@@ -146,6 +146,35 @@ def _augment_kernel(
         ).astype(out_ref.dtype)
 
 
+def dma_gather_schedule(B: int, G: int, depth: int):
+    """Pure event-stream model of `_augment_kernel_dma`'s slot ring.
+
+    Mirrors the kernel's program order exactly — warm-up starts DMAs for
+    samples 0..depth-1 into slots 0..depth-1, then per sample q:
+    wait(q) on slot q%depth, consume(q) (the VMEM load materializes before
+    refill), start(q+depth) into the same slot. The CPU suite replays this
+    stream (tests/test_cache_augment.py) and asserts the safety invariants —
+    every consume reads its own sample's row; no start overwrites a slot
+    whose data has not been consumed — across B/G/depth sweeps including
+    tails. The kernel body cannot execute on CPU (manual DMA semaphores have
+    no interpret-mode lowering), so this model is its structural oracle:
+    keep the two in lockstep when editing either.
+
+    Yields ("start", sample, slot) / ("wait", sample, slot) /
+    ("consume", sample, slot) in program order.
+    """
+    for d in range(min(depth, B)):
+        yield ("start", d, d)
+    for b in range(B // G):
+        for g in range(G):
+            q = b * G + g
+            slot = q % depth
+            yield ("wait", q, slot)
+            yield ("consume", q, slot)
+            if q + depth < B:
+                yield ("start", q + depth, slot)
+
+
 def _augment_kernel_dma(
     idx_ref, ang_ref, off_ref, hbm_ref, out_ref, scratch, sems,
     *, S, out_size, C, kx, ky, G, depth, B
