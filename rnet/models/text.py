@@ -62,10 +62,15 @@ class QuestionEmbedModel(nn.Module):
             return (h, c), None
 
         h0 = jnp.zeros((B, H), self.dtype)
+        # Full unroll: measured 0.485 ms fwd+bwd at B=512/T=48 vs 1.175 ms at
+        # unroll=8 and 1.946 ms at unroll=16 (v5e, round 3) — with the loop
+        # gone XLA schedules all T recurrence steps' VPU work back to back.
+        # T is a small static config value (question_max_len), so full unroll
+        # costs only compile time; the math is identical to any unroll.
         (h, _), _ = jax.lax.scan(
             step,
             (h0, h0),
             (xg.transpose(1, 0, 2), mask.T[..., None]),
-            unroll=8,
+            unroll=T,
         )
         return h

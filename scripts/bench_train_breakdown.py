@@ -27,22 +27,34 @@ from rnet.train.steps import create_train_state, train_step
 from rnet.utils.timing import device_loop_time
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+import os
+_ONLY = set(filter(None, os.environ.get("RNET_BD_ONLY", "").split(",")))
+def want(name):
+    return not _ONLY or name in _ONLY
 cfg = load_config("original-fp")
 rng = jax.random.key(0)
 
 
-def grad_loop(loss_fn, params, consume):
-    """K-step fori_loop of value_and_grad(loss_fn); consumes grads to defeat DCE."""
+def grad_loop(loss_fn, params):
+    """K-step fori_loop of value_and_grad(loss_fn), hoist/DCE-proof.
+
+    `p + 0.0*g` is NOT safe: XLA's simplifier folds it for pure-XLA graphs
+    (the first run measured conv fwd+bwd as 0.000 ms — the whole body hoisted
+    out of the loop as invariant). The grads must (a) feed the accumulator
+    through full reductions and (b) perturb the params by a value-dependent
+    (numerically negligible) epsilon so no iteration is provably identical.
+    Pallas-containing graphs happened to survive the old pattern (pairwise
+    measured 17.176 ms = 8x the audited B=64 number), but use this for all.
+    """
 
     @partial(jax.jit, static_argnums=(1,))
     def loop(p0, K):
         def body(i, carry):
             p, acc = carry
             val, g = jax.value_and_grad(loss_fn)(p)
-            # fold a grad-dependent epsilon back into params: serializes
-            # iterations AND keeps the whole backward alive
-            p = jax.tree.map(lambda a, b: a + 0.0 * b.astype(a.dtype), p, g)
-            return (p, acc + val.astype(jnp.float32))
+            gsum = sum(l.astype(jnp.float32).sum() for l in jax.tree.leaves(g))
+            p = jax.tree.map(lambda a, b: a + (1e-30 * b).astype(a.dtype), p, g)
+            return (p, acc + val.astype(jnp.float32) + gsum * 1e-20)
 
         _, acc = jax.lax.fori_loop(0, K, body, (p0, jnp.float32(0)))
         return acc
@@ -51,7 +63,12 @@ def grad_loop(loss_fn, params, consume):
 
 
 def report(name, loss_fn, params):
-    t = device_loop_time(lambda K: (lambda: grad_loop(loss_fn, params, None)(params, K)))
+    # ONE jitted loop reused across K values: instantiating grad_loop inside
+    # the timed lambda would retrace per call and the differencing would
+    # measure trace/cache constants instead of steps (the first two runs of
+    # this script printed conv fwd+bwd as 0.000 ms exactly this way).
+    loop = grad_loop(loss_fn, params)
+    t = device_loop_time(lambda K: (lambda: loop(params, K)))
     print(f"{name:<34s} {t*1e3:8.3f} ms")
     return t
 
@@ -81,8 +98,10 @@ def steploop(state0, batch, K):
     return loss
 
 
-t_full = device_loop_time(lambda K: (lambda: steploop(state, batch, K)))
-print(f"{'full train step':<34s} {t_full*1e3:8.3f} ms   ({B/t_full:,.0f} q/s)")
+t_full = None
+if want("step"):
+    t_full = device_loop_time(lambda K: (lambda: steploop(state, batch, K)))
+    print(f"{'full train step':<34s} {t_full*1e3:8.3f} ms   ({B/t_full:,.0f} q/s)")
 
 # ---- full fwd+bwd only (no optimizer, no metrics): isolates update cost ----
 img_f = (batch["image"].astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
@@ -98,7 +117,7 @@ def rn_loss(params):
     return -jnp.take_along_axis(logp, batch["answer"][:, None], axis=1).mean()
 
 
-t_fb = report("RN fwd+bwd (no opt)", rn_loss, state.params)
+t_fb = report("RN fwd+bwd (no opt)", rn_loss, state.params) if want("rn") else None
 
 # ---- conv fwd+bwd ----
 conv = ConvInputModel(dtype=jnp.bfloat16)
@@ -113,7 +132,7 @@ def conv_loss(p):
     return out.astype(jnp.float32).sum()
 
 
-t_conv = report("conv(+BN) fwd+bwd", conv_loss, cvars["params"])
+t_conv = report("conv(+BN) fwd+bwd", conv_loss, cvars["params"]) if want("conv") else None
 
 # ---- LSTM fwd+bwd ----
 text = QuestionEmbedModel(vocab_size=90, emb_dim=cfg.lstm_word_emb, hidden=cfg.lstm_hidden)
@@ -124,7 +143,7 @@ def text_loss(p):
     return text.apply({"params": p}, batch["question"]).astype(jnp.float32).sum()
 
 
-t_lstm = report("LSTM fwd+bwd", text_loss, tvars["params"])
+t_lstm = report("LSTM fwd+bwd", text_loss, tvars["params"]) if want("lstm") else None
 
 # ---- optimizer alone (clip + global-norm metric + Adam on the real tree) ----
 grads = jax.tree.map(jnp.ones_like, state.params)
@@ -144,8 +163,10 @@ def opt_loop(state0, K):
     return acc
 
 
-t_opt = device_loop_time(lambda K: (lambda: opt_loop(state, K)))
-print(f"{'optimizer+clip+grad_norm':<34s} {t_opt*1e3:8.3f} ms")
+t_opt = None
+if want("opt"):
+    t_opt = device_loop_time(lambda K: (lambda: opt_loop(state, K)))
+    print(f"{'optimizer+clip+grad_norm':<34s} {t_opt*1e3:8.3f} ms")
 
 # ---- pairwise core fwd+bwd at this batch (the known floor) ----
 import numpy as np
@@ -178,13 +199,16 @@ def pw_loop(u0, K):
     return acc
 
 
-t_pw = device_loop_time(lambda K: (lambda: pw_loop(u, K)))
-print(f"{'pairwise core fwd+bwd':<34s} {t_pw*1e3:8.3f} ms")
+t_pw = None
+if want("pw"):
+    t_pw = device_loop_time(lambda K: (lambda: pw_loop(u, K)))
+    print(f"{'pairwise core fwd+bwd':<34s} {t_pw*1e3:8.3f} ms")
 
-resid = t_full - t_fb
-print("-" * 56)
-print(f"{'residual: step - fwd/bwd (opt etc.)':<34s} {resid*1e3:8.3f} ms")
-print(
-    f"{'residual: fwd/bwd - (pw+conv+lstm)':<34s} "
-    f"{(t_fb - t_pw - t_conv - t_lstm)*1e3:8.3f} ms  (f_phi, coords, sum, misc)"
-)
+if None not in (t_full, t_fb):
+    print("-" * 56)
+    print(f"{'residual: step - fwd/bwd (opt etc.)':<34s} {(t_full-t_fb)*1e3:8.3f} ms")
+if None not in (t_fb, t_pw, t_conv, t_lstm):
+    print(
+        f"{'residual: fwd/bwd - (pw+conv+lstm)':<34s} "
+        f"{(t_fb - t_pw - t_conv - t_lstm)*1e3:8.3f} ms  (f_phi, coords, sum, misc)"
+    )
