@@ -278,7 +278,7 @@ def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj)
+    TI, TJ = _tiles(ni, nj, H)
     # symmetric per-layer weight quantization (host-free, traced)
     sw = jnp.maximum(jnp.max(jnp.abs(ws), axis=(1, 2)), 1e-9)  # (L-1,)
     w8 = jnp.clip(
@@ -339,29 +339,33 @@ def pairwise_core_int8(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = Fa
 # ---------------------------------------------------------------------------
 
 
-def _tiles(ni: int, nj: int | None = None) -> Tuple[int, int]:
+def _tiles(ni: int, nj: int | None = None, H: int = 256) -> Tuple[int, int]:
     """(TI, TJ): i-tile and j-tile sizing the TI*TJ pair-row matmuls.
 
     Measured on v5e: bigger row blocks win (TI=32 at n=64 runs the forward at
     ~0.42 ms vs 0.54 ms for TI=16), but the backward holds L activation
-    buffers of (TI*TJ, H) in VMEM, so rows are capped at 2048.
+    buffers of (TI*TJ, H) in VMEM plus fp32 gradient scratch, so the row cap
+    scales inversely with H: 2048 rows at H<=256 (the tuned point), halved at
+    H=512 (TI=32 x TJ=64 x H=512 hit the 16 MB scoped-vmem limit at 18.7 MB
+    in the backward — the wide-fp config's shape).
     """
     nj = ni if nj is None else nj
+    row_cap = min(2048, (2048 * 256) // H)
     tj = nj if nj <= 128 else 128
     if tj and nj % tj:
         return 0, 0
     ti = 0
     for cand in (32, 16, 8):
-        if ni % cand == 0 and cand * tj <= 2048:
+        if ni % cand == 0 and cand * tj <= row_cap:
             ti = cand
             break
     if ti == 0 and ni % 8 == 0:
-        ti = 8  # rows may exceed 2048 only if no smaller divisor exists
+        ti = 8  # rows may exceed the cap only if no smaller divisor exists
     return ti, tj
 
 
 def _supported(ni: int, nj: int, H: int, L: int) -> bool:
-    ti, tj = _tiles(ni, nj)
+    ti, tj = _tiles(ni, nj, H)
     return bool(ti and tj) and H % 128 == 0 and L >= 2
 
 
@@ -369,7 +373,7 @@ def _fwd_pallas(u, v, s, qa, ws, bs, seed, inject: int, interpret: bool, keep: f
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj)
+    TI, TJ = _tiles(ni, nj, H)
     kern = functools.partial(
         _fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
     )
@@ -400,7 +404,7 @@ def _bwd_pallas(u, v, s, qa, ws, bs, seed, g, inject: int, interpret: bool, keep
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj)
+    TI, TJ = _tiles(ni, nj, H)
     kern = functools.partial(
         _bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
     )
