@@ -38,6 +38,36 @@ def test_tile_selection():
     assert _tiles(12)[0] == 0 or 12 % _tiles(12)[0] == 0
 
 
+def test_tile_selection_vmem_aware():
+    """Row cap halves at H=512: TI=32 x TJ=64 x H=512 OOMed the 16 MB scoped
+    vmem in the backward (wide-fp shape, round 3)."""
+    assert _tiles(64, 64, 512) == (16, 64)  # 1024 rows per block
+    assert _tiles(64, 64, 256) == (32, 64)  # tuned point unchanged
+    assert _tiles(64, 64, 128) == (32, 64)  # small H unchanged (cap 2048)
+    ti, tj = _tiles(1024, 1024, 256)  # stretch-32 shape unchanged
+    assert (ti, tj) == (16, 128)
+
+
+def test_kernel_h512_matches_reference():
+    """wide-fp head shape (H=512) through the halved row cap, fwd + bwd."""
+    B, n, H, L, inject = 1, 32, 512, 4, 0
+    args = _inputs(B, n, H, L, inject)
+    ref = pairwise_core_reference(*args, inject=inject)
+    out = pairwise_core(*args, inject=inject, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=5e-3)
+
+    def loss_k(ws, u):
+        return pairwise_core(u, *args[1:4], ws, args[5], inject=inject, interpret=True).sum()
+
+    def loss_r(ws, u):
+        return pairwise_core_reference(u, *args[1:4], ws, args[5], inject=inject).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(args[4], args[0])
+    gr = jax.grad(loss_r, argnums=(0, 1))(args[4], args[0])
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-3)
+
+
 @pytest.mark.parametrize("n", [16, 64])
 @pytest.mark.parametrize("inject", [0, 2])
 def test_kernel_forward_matches_reference(n, inject):
