@@ -364,6 +364,23 @@ def _tiles(ni: int, nj: int | None = None, H: int = 256) -> Tuple[int, int]:
     return ti, tj
 
 
+def _bwd_vmem_bytes(ti: int, tj: int, H: int, L: int) -> int:
+    """Scoped-VMEM stack estimate for one backward grid step.
+
+    Dominant live buffers per j-tile: L activation blocks (rows, H) bf16,
+    pre0 + d in fp32, dpre in bf16 -> rows*H*(2L + 10) bytes. Validated
+    against the Mosaic compile error at TI=32/TJ=64/H=512/L=4: model says
+    18.9 MB, compiler measured 18.72 MB against its 16 MB limit. Block I/O
+    (w, dw, v, dv) is accounted by the compiler separately; the stack is
+    what OOMs first at large rows*H.
+    """
+    rows = ti * tj
+    return rows * H * (2 * L + 10)
+
+
+_SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
+
+
 def _supported(ni: int, nj: int, H: int, L: int) -> bool:
     ti, tj = _tiles(ni, nj, H)
     return bool(ti and tj) and H % 128 == 0 and L >= 2

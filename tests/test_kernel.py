@@ -38,6 +38,36 @@ def test_tile_selection():
     assert _tiles(12)[0] == 0 or 12 % _tiles(12)[0] == 0
 
 
+def test_every_config_fits_scoped_vmem():
+    """The backward's stack must fit the 16 MB scoped-VMEM limit for every
+    named config's pairwise shape (the wide-fp OOM class, round 3)."""
+    import json
+
+    from rnet.config import load_config
+    from rnet.kernels.pairwise import _SCOPED_VMEM_LIMIT, _bwd_vmem_bytes
+
+    names = json.load(open("config.json")).keys()
+    for name in names:
+        cfg = load_config(name)
+        n, H, L = cfg.n_objects, cfg.g_layers[0], len(cfg.g_layers)
+        ti, tj = _tiles(n, n, H)
+        if not (ti and tj):
+            continue  # shape takes the XLA path, no kernel VMEM at stake
+        est = _bwd_vmem_bytes(ti, tj, H, L)
+        assert est <= _SCOPED_VMEM_LIMIT, (
+            f"{name}: TI={ti} TJ={tj} H={H} L={L} -> {est/2**20:.1f} MB "
+            f"backward stack exceeds the 16 MB scoped-VMEM limit"
+        )
+
+
+def test_vmem_model_matches_observed_oom():
+    """Pin the estimator to the compile error that motivated it."""
+    from rnet.kernels.pairwise import _bwd_vmem_bytes
+
+    est = _bwd_vmem_bytes(32, 64, 512, 4)
+    assert 17.5 * 2**20 < est < 20 * 2**20  # compiler measured 18.72 MB
+
+
 def test_tile_selection_vmem_aware():
     """Row cap halves at H=512: TI=32 x TJ=64 x H=512 OOMed the 16 MB scoped
     vmem in the backward (wide-fp shape, round 3)."""
