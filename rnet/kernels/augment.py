@@ -163,7 +163,11 @@ def dma_gather_schedule(B: int, G: int, depth: int):
     Yields ("start", sample, slot) / ("wait", sample, slot) /
     ("consume", sample, slot) in program order.
     """
-    for d in range(min(depth, B)):
+    # the kernel warm-starts range(depth) unconditionally and relies on the
+    # caller's depth = min(depth, B) clamp (_fused_pallas); model the same
+    # contract loudly instead of clamping here and hiding a divergence
+    assert depth <= B, f"depth {depth} > B {B}: kernel would DMA idx_ref[d] past the batch"
+    for d in range(depth):
         yield ("start", d, d)
     for b in range(B // G):
         for g in range(G):

@@ -252,9 +252,11 @@ def _activation_scales(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
     """
     nb = min(u.shape[0], 4)
     no = min(u.shape[1], 16)
-    sb = max(1, u.shape[0] // nb)
-    so = max(1, u.shape[1] // no)
-    sv = max(1, v.shape[1] // no)  # v may hold nj != ni objects (sharded case)
+    # ceil-strides: floor degrades to head sampling when nb <= B < 2*nb
+    # (sb=1 takes samples 0..nb-1 — the exact bias striding exists to avoid)
+    sb = -(-u.shape[0] // nb)
+    so = -(-u.shape[1] // no)
+    sv = -(-v.shape[1] // no)  # v may hold nj != ni objects (sharded case)
     ub = u[::sb][:nb, ::so][:, :no].astype(_F32)
     vb = v[::sb][:nb, ::sv][:, :no].astype(_F32)
     a = jax.nn.relu(
@@ -278,7 +280,7 @@ def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj, H)
+    TI, TJ = _tiles(ni, nj, H, L)
     # symmetric per-layer weight quantization (host-free, traced)
     sw = jnp.maximum(jnp.max(jnp.abs(ws), axis=(1, 2)), 1e-9)  # (L-1,)
     w8 = jnp.clip(
@@ -339,31 +341,6 @@ def pairwise_core_int8(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = Fa
 # ---------------------------------------------------------------------------
 
 
-def _tiles(ni: int, nj: int | None = None, H: int = 256) -> Tuple[int, int]:
-    """(TI, TJ): i-tile and j-tile sizing the TI*TJ pair-row matmuls.
-
-    Measured on v5e: bigger row blocks win (TI=32 at n=64 runs the forward at
-    ~0.42 ms vs 0.54 ms for TI=16), but the backward holds L activation
-    buffers of (TI*TJ, H) in VMEM plus fp32 gradient scratch, so the row cap
-    scales inversely with H: 2048 rows at H<=256 (the tuned point), halved at
-    H=512 (TI=32 x TJ=64 x H=512 hit the 16 MB scoped-vmem limit at 18.7 MB
-    in the backward — the wide-fp config's shape).
-    """
-    nj = ni if nj is None else nj
-    row_cap = min(2048, (2048 * 256) // H)
-    tj = nj if nj <= 128 else 128
-    if tj and nj % tj:
-        return 0, 0
-    ti = 0
-    for cand in (32, 16, 8):
-        if ni % cand == 0 and cand * tj <= row_cap:
-            ti = cand
-            break
-    if ti == 0 and ni % 8 == 0:
-        ti = 8  # rows may exceed the cap only if no smaller divisor exists
-    return ti, tj
-
-
 def _bwd_vmem_bytes(ti: int, tj: int, H: int, L: int) -> int:
     """Scoped-VMEM stack estimate for one backward grid step.
 
@@ -381,8 +358,33 @@ def _bwd_vmem_bytes(ti: int, tj: int, H: int, L: int) -> int:
 _SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
 
 
+def _tiles(ni: int, nj: int | None = None, H: int = 256, L: int = 4) -> Tuple[int, int]:
+    """(TI, TJ): i-tile and j-tile sizing the TI*TJ pair-row matmuls.
+
+    Measured on v5e: bigger row blocks win (TI=32 at n=64 runs the forward at
+    ~0.42 ms vs 0.54 ms for TI=16), but the backward's recompute stack must
+    fit the 16 MB scoped-VMEM limit (TI=32 x TJ=64 x H=512 x L=4 OOMed at
+    18.7 MB — the wide-fp shape), so rows are capped by _bwd_vmem_bytes with
+    10% compile-margin, and by the measured 2048-row tuning point.
+    """
+    nj = ni if nj is None else nj
+    budget = _SCOPED_VMEM_LIMIT * 9 // 10
+    row_cap = min(2048, budget // (H * (2 * L + 10)))
+    tj = nj if nj <= 128 else 128
+    if tj and nj % tj:
+        return 0, 0
+    ti = 0
+    for cand in (32, 16, 8):
+        if ni % cand == 0 and cand * tj <= row_cap:
+            ti = cand
+            break
+    if ti == 0 and ni % 8 == 0 and 8 * tj <= row_cap:
+        ti = 8
+    return ti, tj
+
+
 def _supported(ni: int, nj: int, H: int, L: int) -> bool:
-    ti, tj = _tiles(ni, nj, H)
+    ti, tj = _tiles(ni, nj, H, L)
     return bool(ti and tj) and H % 128 == 0 and L >= 2
 
 
@@ -390,7 +392,7 @@ def _fwd_pallas(u, v, s, qa, ws, bs, seed, inject: int, interpret: bool, keep: f
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj, H)
+    TI, TJ = _tiles(ni, nj, H, L)
     kern = functools.partial(
         _fwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
     )
@@ -421,7 +423,7 @@ def _bwd_pallas(u, v, s, qa, ws, bs, seed, g, inject: int, interpret: bool, keep
     B, ni, H = u.shape
     nj = v.shape[1]
     L = ws.shape[0] + 1
-    TI, TJ = _tiles(ni, nj, H)
+    TI, TJ = _tiles(ni, nj, H, L)
     kern = functools.partial(
         _bwd_kernel, L=L, inject=inject, TI=TI, TJ=TJ, nj=nj, keep=keep
     )

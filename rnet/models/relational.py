@@ -160,6 +160,14 @@ class RelationalLayer(nn.Module):
         if impl == "pallas_int8":
             impl = "pallas"
         pair_mask = None
+        if self.object_mask and n_objects is None and not self.is_initializing():
+            # fail loudly instead of silently training unmasked: only the
+            # state-description datasets carry per-sample object counts
+            raise ValueError(
+                "object_mask=True but the batch has no n_objects — the mask "
+                "needs a state-description dataset (from-pixels grids have "
+                "no pad objects to exclude)"
+            )
         if self.object_mask and n_objects is not None:
             # keep pair (i, j) iff both are real objects (SURVEY.md 3.4's
             # optional mask; the reference's unmasked behavior is the default)

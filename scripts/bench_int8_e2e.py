@@ -40,9 +40,12 @@ for impl in ("auto", "pallas_int8"):
 
     @partial(jax.jit, static_argnums=(2,))
     def loop(state0, batch, K):
+        # anti-hoist: make the batch depend on the carry through a dynamic
+        # predicate XLA cannot fold (0.0-multiplies get simplified away and
+        # the body hoists out of the loop — see bench_train_breakdown.py)
         def body(i, acc):
             b2 = dict(batch)
-            b2["question"] = batch["question"] + (acc * 0.0).astype(jnp.int32)
+            b2["question"] = jnp.where(acc < 0, 1, batch["question"])
             out = es(state0, b2)
             return acc + out["correct"].sum().astype(jnp.float32)
 

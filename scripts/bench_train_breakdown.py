@@ -146,9 +146,6 @@ def text_loss(p):
 t_lstm = report("LSTM fwd+bwd", text_loss, tvars["params"]) if want("lstm") else None
 
 # ---- optimizer alone (clip + global-norm metric + Adam on the real tree) ----
-grads = jax.tree.map(jnp.ones_like, state.params)
-
-
 @partial(jax.jit, static_argnums=(1,))
 def opt_loop(state0, K):
     def body(i, carry):
@@ -189,11 +186,13 @@ gfn = jax.value_and_grad(
 
 @partial(jax.jit, static_argnums=(1,))
 def pw_loop(u0, K):
+    # same anti-hoist contract as grad_loop: perturb the input by a
+    # value-dependent epsilon (0.0-multiplies fold for pure-XLA fallbacks)
     def body(i, carry):
         uc, acc = carry
         val, (du, dws) = gfn(uc, pws)
-        uc = uc + (du.sum() * 0.0).astype(uc.dtype)
-        return (uc, acc + val + dws.sum())
+        uc = uc + (1e-30 * du).astype(uc.dtype)
+        return (uc, acc + val + du.astype(jnp.float32).sum() * 1e-20 + dws.astype(jnp.float32).sum() * 1e-20)
 
     _, acc = jax.lax.fori_loop(0, K, body, (u0, jnp.float32(0)))
     return acc

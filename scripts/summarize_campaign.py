@@ -23,10 +23,12 @@ def main(d):
             vals = {r[0]: float(r[1]) for r in csv.reader(f) if r and r[0] != "metric"}
         vals["epoch"] = int(m.group(1))
         rows.append(vals)
+    if not rows:
+        sys.exit(f"no val_epoch*_accuracy.csv files under {d}")
     rows.sort(key=lambda r: r["epoch"])
-    cols = ["epoch", "overall_accuracy", "mean_nll"] + sorted(
-        k for k in rows[0] if k.startswith("category_")
-    )
+    # union over all epochs: per-category rows may appear mid-campaign
+    cats = sorted({k for r in rows for k in r if k.startswith("category_")})
+    cols = ["epoch", "overall_accuracy", "mean_nll"] + cats
     out = os.path.join(d, "campaign_curve.csv")
     with open(out, "w", newline="") as f:
         w = csv.writer(f)

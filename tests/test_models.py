@@ -177,6 +177,10 @@ def test_object_mask_excludes_pad_pairs(impl):
         np.testing.assert_allclose(
             np.asarray(out_trunc[0]), np.asarray(out_zero[k]), rtol=1e-4, atol=1e-5
         )
+    # the knob must not silently no-op: applying without n_objects (the
+    # from-pixels pipelines carry none) raises instead of training unmasked
+    with pytest.raises(ValueError, match="n_objects"):
+        masked.apply(params, x_zero, q)
     # reference default (mask off): zero pads DO contribute (bias terms), and
     # garbage pads change the answer — the knob is load-bearing.
     unmasked = RelationalLayer(impl=impl, object_mask=False, **kw)
