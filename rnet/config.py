@@ -127,7 +127,16 @@ def load_config(
     d["name"] = model
     if overrides:
         d.update(_coerce({k: v for k, v in overrides.items() if v is not None}))
-    return ModelConfig(**d)
+    cfg = ModelConfig(**d)
+    if cfg.object_mask and not cfg.state_description:
+        # fail at startup, not at the first train step inside jit: only the
+        # state-description datasets carry the per-sample n_objects the mask
+        # needs (the model raises too, as the backstop for direct use)
+        raise ValueError(
+            f"--object-mask requires a state-description model; "
+            f"{model!r} is from-pixels (every grid cell is a real object)"
+        )
+    return cfg
 
 
 def list_models(config_path: Optional[str] = None) -> List[str]:
