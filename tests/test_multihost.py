@@ -37,12 +37,13 @@ def _free_port() -> int:
 
 
 def _run_workers(fixture_dir, tmp_path, world: int, timeout=600, pipeline="standard"):
-    """Launch `world` worker processes (4 virtual CPU devices each)."""
+    """Launch `world` worker processes (8//world virtual CPU devices each,
+    so the global topology is always 8 devices and runs stay comparable)."""
     port = _free_port()
     outs = [tmp_path / f"mh_{pipeline}_{world}_{r}.json" for r in range(world)]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize: CPU-only
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={8 // world}"
     procs = [
         subprocess.Popen(
             [
@@ -89,6 +90,30 @@ def test_two_process_training_matches_single_process(fixture_dir, tmp_path):
         single[0]["param_digest"], rel=1e-3
     )
     assert multi[0]["n_train_batches"] >= 2  # it actually stepped
+
+
+@pytest.mark.slow
+def test_four_process_training_matches_single_process(fixture_dir, tmp_path):
+    """World size generalizes past 2: four processes x 2 virtual devices each
+    (same 8-device global topology), gloo collectives among 4 ranks. Asserts
+    cross-rank metric identity and parity with the single-process run."""
+    multi = _run_workers(fixture_dir, tmp_path, world=4)
+    single = _run_workers(fixture_dir, tmp_path, world=1)
+
+    assert all(r["process_count"] == 4 for r in multi)
+    assert all(r["global_devices"] == 8 for r in multi)
+
+    for key in ("train_loss", "val_acc", "val_nll"):
+        vals = [r[key] for r in multi]
+        assert max(vals) - min(vals) < 1e-5, (key, vals)
+        assert multi[0][key] == pytest.approx(single[0][key], rel=2e-4, abs=2e-4), key
+
+    digests = [r["param_digest"] for r in multi]
+    assert max(digests) - min(digests) <= abs(digests[0]) * 1e-6
+    assert multi[0]["param_digest"] == pytest.approx(
+        single[0]["param_digest"], rel=1e-3
+    )
+    assert multi[0]["n_train_batches"] >= 2
 
 
 @pytest.mark.slow
