@@ -276,6 +276,44 @@ def _activation_scales(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
     return jnp.maximum(jnp.stack(amaxes), 1e-6) * margin  # (L-1,)
 
 
+def int8_clip_fractions(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
+    """Calibration-drift diagnostic: per-layer fraction of activation values
+    that would hard-clip at 127 under the scales `_activation_scales`
+    produces for this batch (round-2 advisor finding: clipping past the
+    margin was silent). Returns (L-1,) fractions, one per quantization point.
+
+    Evaluates the fp chain on a subsample PHASE-OFFSET from the calibration
+    one (same ceil-strides, started half a stride later), so it measures
+    exactly the rows the strided calibration never saw, at the same ~0.1%
+    FLOP budget. Usage: run host-side on a live batch when int8 accuracy
+    drifts; fractions >> 1e-3 mean the 1.2x margin is being exceeded and
+    the margin (or per-batch recalibration) needs raising.
+    """
+    c = _activation_scales(u, v, s, qa, ws, bs, inject, margin=margin)
+    nb = min(u.shape[0], 4)
+    no = min(u.shape[1], 16)
+    sb = -(-u.shape[0] // nb)
+    so = -(-u.shape[1] // no)
+    sv = -(-v.shape[1] // no)
+    ob, oo, ov = sb // 2, so // 2, sv // 2
+    ub = u[ob::sb][:nb, oo::so][:, :no].astype(_F32)
+    vb = v[ob::sb][:nb, ov::sv][:, :no].astype(_F32)
+    sub = s[ob::sb][:nb].astype(_F32)
+    qb = qa[ob::sb][:nb].astype(_F32)
+    a = jax.nn.relu(ub[:, :, None, :] + vb[:, None, :, :] + sub[:, None, None, :])
+    a = a.reshape(a.shape[0], -1, u.shape[-1])
+    fracs = [jnp.mean(a > c[0])]
+    L = ws.shape[0] + 1
+    for l in range(1, L):
+        pre = a @ ws[l - 1].astype(_F32) + bs[l - 1][None, None, :].astype(_F32)
+        if l == inject:
+            pre = pre + qb[:, None, :]
+        a = jax.nn.relu(pre)
+        if l < L - 1:
+            fracs.append(jnp.mean(a > c[l]))
+    return jnp.stack(fracs)  # (L-1,)
+
+
 def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
     B, ni, H = u.shape
     nj = v.shape[1]
