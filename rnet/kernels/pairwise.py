@@ -259,11 +259,14 @@ def _activation_scales(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
     sv = -(-v.shape[1] // no)  # v may hold nj != ni objects (sharded case)
     ub = u[::sb][:nb, ::so][:, :no].astype(_F32)
     vb = v[::sb][:nb, ::sv][:, :no].astype(_F32)
+    # reshape by the ACTUAL row count: ceil-striding can yield < nb samples
+    # (B=5 -> sb=2 -> 3 rows); reshaping by nominal nb mixed samples and
+    # broke the qa broadcast (round-3 advisor finding).
     a = jax.nn.relu(
         ub[:, :, None, :]
         + vb[:, None, :, :]
         + s[::sb][:nb, None, None, :].astype(_F32)
-    ).reshape(nb, -1, u.shape[-1])
+    ).reshape(ub.shape[0], -1, u.shape[-1])
     amaxes = [jnp.max(a)]
     L = ws.shape[0] + 1
     for l in range(1, L):
@@ -288,6 +291,13 @@ def int8_clip_fractions(u, v, s, qa, ws, bs, inject: int, margin: float = 1.2):
     FLOP budget. Usage: run host-side on a live batch when int8 accuracy
     drifts; fractions >> 1e-3 mean the 1.2x margin is being exceeded and
     the margin (or per-batch recalibration) needs raising.
+
+    Degenerate case: when B <= 4 AND both object axes are <= 16, every
+    stride is 1, the phase offset is 0, and the "probe" subsample IS the
+    calibration subsample — which then covered the full input exactly, so
+    with margin >= 1 a zero result is the TRUE answer (exact calibration
+    cannot clip), not a missed drift. Only partially-strided axes carry
+    drift information; sub-margin probes (margin < 1) still report > 0.
     """
     c = _activation_scales(u, v, s, qa, ws, bs, inject, margin=margin)
     nb = min(u.shape[0], 4)
@@ -363,7 +373,11 @@ def _fwd_pallas_int8(u, v, s, qa, ws, bs, inject: int, interpret: bool):
 
 
 def pairwise_core_int8(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = False):
-    """Int8 inference path (no VJP). Falls back to the reference off-TPU."""
+    """Int8 inference path (no VJP). Falls back to the reference off-TPU or on
+    kernel-unsupported shapes — LOUDLY (round-3 verdict: an explicit
+    ``--rl-impl pallas_int8`` must never silently benchmark fp math)."""
+    import warnings
+
     B, ni, H = u.shape
     L = ws.shape[0] + 1
     on_tpu = jax.default_backend() == "tpu"
@@ -371,6 +385,17 @@ def pairwise_core_int8(u, v, s, qa, ws, bs, *, inject: int, interpret: bool = Fa
         return jax.lax.stop_gradient(
             _fwd_pallas_int8(u, v, s, qa, ws, bs, inject, interpret)
         )
+    why = (
+        f"shape unsupported by the fused kernel (ni={ni}, nj={v.shape[1]}, "
+        f"H={H}, L={L}: needs H%128==0, L>=2 and tileable object counts)"
+        if (on_tpu or interpret)
+        else f"backend is {jax.default_backend()!r}, not TPU"
+    )
+    warnings.warn(
+        f"pallas_int8 requested but {why}; running the fp32 reference "
+        "pairwise path instead — reported numbers are NOT int8",
+        stacklevel=2,
+    )
     return pairwise_core_reference(u, v, s, qa, ws, bs, inject)
 
 
@@ -641,25 +666,13 @@ def pairwise_core_sharded(
 # ---------------------------------------------------------------------------
 
 
-def fused_pairwise_g(
-    x: jnp.ndarray,  # (B, n, c) objects
-    q: jnp.ndarray,  # (B, h) question encoding
-    gw: Sequence[jnp.ndarray],  # g layer kernels (layer 0: (2c[+h], H))
-    gb: Sequence[jnp.ndarray],
-    *,
-    inject: int,
-    dtype=jnp.bfloat16,
-    interpret: bool = False,
-    mesh=None,
-    pair_keep: float = 1.0,
-    seed=None,
-    int8: bool = False,
-) -> jnp.ndarray:
-    """Pooled g_theta over all object pairs; (B, g_out) fp32.
+def _project_pair_inputs(x, q, gw, gb, inject: int, dtype):
+    """Thin per-object/per-sample projections feeding the pairwise core.
 
-    The thin projections are plain JAX (autodiff handles their grads); the
-    n^2-heavy chain runs in the fused kernel via pairwise_core (under a
-    multi-device mesh: pairwise_core_sharded).
+    Factors the concat-into-linear layer 0 (and a deep injection layer) into
+    u = x@W0[:c], v = x@W0[c:2c], per-sample shift s and injection term qa,
+    plus the stacked uniform-width chain (ws, bs) — the exact inputs both the
+    fused kernels and the jnp reference core consume.
     """
     B, n, c = x.shape
     H = gw[0].shape[-1]
@@ -685,8 +698,51 @@ def fused_pairwise_g(
             bs_list.append(gb[l].astype(dt))
         ws = jnp.stack(ws_list)
         bs = jnp.stack(bs_list)
+    return u, v, s, qa, ws, bs
+
+
+def pairwise_clip_fractions(
+    x, q, gw, gb, *, inject: int, dtype=jnp.bfloat16, margin: float = 1.2
+):
+    """Int8 calibration-drift report from objects + question (see
+    int8_clip_fractions): per-layer fraction of probe activations that would
+    hard-clip at 127 under this batch's calibrated scales. The int8 eval path
+    (test.py --rl-impl pallas_int8) prints this on a live batch."""
+    u, v, s, qa, ws, bs = _project_pair_inputs(x, q, gw, gb, inject, dtype)
+    return int8_clip_fractions(u, v, s, qa, ws, bs, inject, margin=margin)
+
+
+def fused_pairwise_g(
+    x: jnp.ndarray,  # (B, n, c) objects
+    q: jnp.ndarray,  # (B, h) question encoding
+    gw: Sequence[jnp.ndarray],  # g layer kernels (layer 0: (2c[+h], H))
+    gb: Sequence[jnp.ndarray],
+    *,
+    inject: int,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    mesh=None,
+    pair_keep: float = 1.0,
+    seed=None,
+    int8: bool = False,
+) -> jnp.ndarray:
+    """Pooled g_theta over all object pairs; (B, g_out) fp32.
+
+    The thin projections are plain JAX (autodiff handles their grads); the
+    n^2-heavy chain runs in the fused kernel via pairwise_core (under a
+    multi-device mesh: pairwise_core_sharded).
+    """
+    u, v, s, qa, ws, bs = _project_pair_inputs(x, q, gw, gb, inject, dtype)
     if int8 and mesh is None:
         return pairwise_core_int8(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
+    if int8:  # int8 has no shard_map island yet — say so, don't silently drop
+        import warnings
+
+        warnings.warn(
+            "pallas_int8 requested under a multi-device mesh; the int8 kernel "
+            "has no shard_map island — running the bf16 pallas path instead",
+            stacklevel=2,
+        )
     if mesh is not None:
         return pairwise_core_sharded(
             u, v, s, qa, ws, bs,

@@ -158,6 +158,17 @@ class RelationalLayer(nn.Module):
         impl = self._resolve_impl(x.shape[1])
         use_int8 = impl == "pallas_int8" and not train  # inference-only path
         if impl == "pallas_int8":
+            if train and not self.is_initializing():
+                import warnings
+
+                # loud fallback (round-3 verdict): the int8 kernel is
+                # forward-only; an explicit int8 request during training
+                # must not silently train a different numeric path
+                warnings.warn(
+                    "rl_impl='pallas_int8' is inference-only (no VJP); "
+                    "training steps run the bf16 pallas kernel instead",
+                    stacklevel=2,
+                )
             impl = "pallas"
         pair_mask = None
         if self.object_mask and n_objects is None and not self.is_initializing():
@@ -218,6 +229,22 @@ class RelationalLayer(nn.Module):
             y = jnp.where(mask, y / keep, 0.0)
         y = y @ self.fw[-1] + self.fb[-1]
         return jax.nn.log_softmax(y, axis=-1)
+
+    def int8_clip_report(self, x: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        """(L-1,) per-layer int8 calibration clip fractions on this batch
+        (kernels.pairwise.int8_clip_fractions; the pallas_int8 eval
+        diagnostic — fractions >> 1e-3 mean the calibration margin is being
+        exceeded and int8 accuracy may drift)."""
+        from ..kernels.pairwise import pairwise_clip_fractions
+
+        return pairwise_clip_fractions(
+            x.astype(self.dtype),
+            q.astype(self.dtype),
+            list(self.gw),
+            list(self.gb),
+            inject=self.question_injection_position,
+            dtype=self.dtype,
+        )
 
     def g_prefix_features(self, x: jnp.ndarray) -> jnp.ndarray:
         """Question-independent g prefix, sum-pooled over pairs.

