@@ -331,6 +331,12 @@ class Trainer:
             # fetch one chunk behind the dispatch so the relay round-trip
             # overlaps the next chunk's compute (same pattern as training)
             outs, qidx = pending
+            if not isinstance(outs, tuple):  # packed single-fetch form
+                from .steps import unpack_eval_chunk
+
+                pred, label, vld, nll = unpack_eval_chunk(pmesh.fetch_global(outs))
+                acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll, qidx=qidx)
+                return
             pred, label, vld, nll = (pmesh.fetch_global(o) for o in outs)
             acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum(), qidx=qidx)
 

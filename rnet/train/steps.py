@@ -265,6 +265,14 @@ def make_chunked_steps(model, cfg, optimizer, donate: bool = True):
         state, ms = jax.lax.scan(body, state, idx_chunk)
         return state, ms  # (K, 3): loss, accuracy, grad_norm per step
 
+    # pack the per-chunk eval outputs into ONE int32 array so the host pays a
+    # single relay round-trip per chunk instead of four (pred/label/valid are
+    # small ints -> bit fields; the nll_sum float rides along bitcast as an
+    # extra column). The relay fetch is the eval wall-clock bottleneck on a
+    # tunneled chip (RESULTS.md eval roofline); answers >= 256 would overflow
+    # the 8-bit label field, so such configs keep the 4-array form.
+    pack = cfg.n_answers < 256
+
     @jax.jit
     def eval_chunk(state, idx_chunk, valid_chunk, data, image_cache):
         def body(_, iv):
@@ -272,9 +280,32 @@ def make_chunked_steps(model, cfg, optimizer, donate: bool = True):
             batch = jax.tree.map(lambda v: v[idx], data)
             batch["valid"] = valid
             out = es(state, batch, image_cache)
+            if pack:
+                packed = (
+                    out["pred"].astype(jnp.int32)
+                    | (out["label"].astype(jnp.int32) << 8)
+                    | (out["valid"].astype(jnp.int32) << 16)
+                )
+                nll_bits = jax.lax.bitcast_convert_type(
+                    out["nll_sum"].astype(jnp.float32), jnp.int32
+                )
+                return None, jnp.concatenate([packed, nll_bits[None]], axis=0)
             return None, (out["pred"], out["label"], out["valid"], out["nll_sum"])
 
         _, outs = jax.lax.scan(body, None, (idx_chunk, valid_chunk))
-        return outs  # each (K, bs) / (K,)
+        return outs  # packed: (K, bs+1) int32; else each (K, bs) / (K,)
 
     return train_chunk, eval_chunk
+
+
+def unpack_eval_chunk(arr: "np.ndarray"):
+    """Host-side inverse of the packed eval_chunk form: (K, bs+1) int32 ->
+    (pred, label, valid, nll_sum)."""
+    import numpy as np
+
+    packed = arr[:, :-1]
+    nll = float(arr[:, -1].copy().view(np.float32).sum())
+    pred = packed & 0xFF
+    label = (packed >> 8) & 0xFF
+    valid = ((packed >> 16) & 1).astype(bool)
+    return pred, label, valid, nll

@@ -127,6 +127,51 @@ def test_checkpoint_retention_default_keeps_all_and_resumes_old(
     assert kept == ["m_epoch_004", "m_epoch_005", "m_epoch_006"]
 
 
+def test_packed_eval_chunk_roundtrip():
+    """The device pipeline packs (pred, label, valid, nll_sum) into one int32
+    array so eval pays ONE relay fetch per chunk; bit-level inverse check."""
+    from rnet.train.steps import unpack_eval_chunk
+
+    rng = np.random.RandomState(0)
+    K, bs = 3, 16
+    pred = rng.randint(0, 28, (K, bs)).astype(np.int32)
+    label = rng.randint(0, 255, (K, bs)).astype(np.int32)
+    valid = rng.rand(K, bs) > 0.3
+    nll = rng.randn(K).astype(np.float32) * 5
+    packed = pred | (label << 8) | (valid.astype(np.int32) << 16)
+    arr = np.concatenate([packed, nll[:, None].view(np.int32)], axis=1)
+    p2, l2, v2, n2 = unpack_eval_chunk(arr)
+    np.testing.assert_array_equal(p2, pred)
+    np.testing.assert_array_equal(l2, label)
+    np.testing.assert_array_equal(v2, valid)
+    assert n2 == pytest.approx(float(nll.sum()), rel=1e-6)
+
+
+@pytest.mark.slow
+def test_device_pipeline_eval_matches_standard(fixture_dir, dicts, tmp_path):
+    """Device-pipeline (packed single-fetch) eval == standard-pipeline eval
+    on identical weights: same accuracy and mean NLL."""
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    tr.train_epoch(1)
+    ev_std = tr.eval_epoch(1, batch_size=8)
+
+    tr_dev = _sd_trainer(
+        fixture_dir, dicts, tmp_path, device_data=True, log_interval=2
+    )
+    from rnet.parallel import mesh as pmesh
+
+    tr_dev.state = pmesh.replicate_state(
+        tr_dev.state.replace(
+            params=jax.tree.map(np.asarray, tr.state.params),
+            batch_stats=jax.tree.map(np.asarray, tr.state.batch_stats),
+        ),
+        tr_dev.mesh,
+    )
+    ev_dev = tr_dev.eval_epoch(1, batch_size=8)
+    assert ev_dev["val_acc"] == pytest.approx(ev_std["val_acc"], abs=1e-6)
+    assert ev_dev["val_nll"] == pytest.approx(ev_std["val_nll"], rel=1e-4)
+
+
 def test_restore_weights_wrong_model_raises(fixture_dir, dicts, tmp_path):
     """A checkpoint from a different model topology must fail with a clear
     named-shape error, not orbax's generic one or a silent mis-restore
