@@ -600,6 +600,7 @@ def pairwise_core_sharded(
     interpret: bool = False,
     pair_keep: float = 1.0,
     seed=None,
+    int8: bool = False,
 ):
     """shard_map island: run the fused kernel per shard under a mesh.
 
@@ -610,10 +611,20 @@ def pairwise_core_sharded(
     ring-reduce rides ICI (SURVEY.md section 5 "long-context" analogue).
     Autodiff of shard_map handles the collective transposes (dv contributions
     psum back; replicated ws/bs cotangents sum over shards).
+
+    int8=True maps the inference-only int8 kernel instead (round 4): each
+    shard calibrates activation scales on its local rows and the fp32 pooled
+    partial sums psum over 'pairs' exactly as in the bf16 island.
     """
     from jax.sharding import PartitionSpec as P
 
+    if int8 and pair_keep < 1.0:
+        raise ValueError("int8 is inference-only; pair dropout cannot be active")
     if mesh is None or mesh.devices.size == 1:
+        if int8:
+            return pairwise_core_int8(
+                u, v, s, qa, ws, bs, inject=inject, interpret=interpret
+            )
         return pairwise_core(
             u, v, s, qa, ws, bs,
             inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed,
@@ -633,10 +644,16 @@ def pairwise_core_sharded(
                 shard_id = shard_id + jax.lax.axis_index(ax) * stride
                 stride *= mesh.shape[ax]
             seed_l = seed_l + shard_id * jnp.int32(1_000_003)
-        out = pairwise_core(
-            u_l, v_l, s_l, qa_l, ws_l, bs_l,
-            inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed_l,
-        )
+        if int8:
+            out = pairwise_core_int8(
+                u_l, v_l, s_l, qa_l, ws_l, bs_l,
+                inject=inject, interpret=interpret,
+            )
+        else:
+            out = pairwise_core(
+                u_l, v_l, s_l, qa_l, ws_l, bs_l,
+                inject=inject, interpret=interpret, pair_keep=pair_keep, seed=seed_l,
+            )
         if has_pairs:
             out = jax.lax.psum(out, "pairs")
         return out
@@ -735,19 +752,11 @@ def fused_pairwise_g(
     u, v, s, qa, ws, bs = _project_pair_inputs(x, q, gw, gb, inject, dtype)
     if int8 and mesh is None:
         return pairwise_core_int8(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)
-    if int8:  # int8 has no shard_map island yet — say so, don't silently drop
-        import warnings
-
-        warnings.warn(
-            "pallas_int8 requested under a multi-device mesh; the int8 kernel "
-            "has no shard_map island — running the bf16 pallas path instead",
-            stacklevel=2,
-        )
     if mesh is not None:
         return pairwise_core_sharded(
             u, v, s, qa, ws, bs,
             inject=inject, mesh=mesh, interpret=interpret,
-            pair_keep=pair_keep, seed=seed,
+            pair_keep=pair_keep, seed=seed, int8=int8,
         )
     return pairwise_core(
         u, v, s, qa, ws, bs,

@@ -53,6 +53,26 @@ def test_sharded_kernel_island_forward(spec):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("spec", ["data:8", "data:4,pairs:2"])
+def test_sharded_kernel_island_int8_forward(spec):
+    """Round 4: the int8 inference kernel has a shard_map island too — each
+    shard calibrates on its local rows; pooled partials psum over 'pairs'.
+    Tolerance matches the single-device int8 quantization-error bound."""
+    mesh = pmesh.make_mesh(spec)
+    args = _core_inputs()
+    ref = pairwise_core_reference(*args, inject=0)
+    out = jax.jit(
+        lambda *a: pairwise_core_sharded(
+            *a, inject=0, mesh=mesh, interpret=True, int8=True
+        )
+    )(*args)
+    rel = float(
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
+        / (np.abs(np.asarray(ref)).max() + 1e-9)
+    )
+    assert rel < 0.03, rel
+
+
 def test_sharded_kernel_island_grads():
     mesh = pmesh.make_mesh("data:4,pairs:2")
     args = _core_inputs()
