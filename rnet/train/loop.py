@@ -324,38 +324,31 @@ class Trainer:
         idx = idx.reshape(nb, bs)
         valid = valid.reshape(nb, bs)
         acc = EvalAccumulator(self.dicts, categories=self._val_categories())
-        C = max(1, self.log_interval)
         t0 = time.time()
 
-        def _drain(pending):
-            # fetch one chunk behind the dispatch so the relay round-trip
-            # overlaps the next chunk's compute (same pattern as training)
-            outs, qidx = pending
-            if not isinstance(outs, tuple):  # packed single-fetch form
+        # ONE dispatch for the whole epoch: eval (unlike training) has no
+        # donated state chain to drain, so the scan runs all nb steps in a
+        # single program and the host pays exactly one idx/valid upload and
+        # one packed fetch — a relay round-trip is ~30 ms, so per-chunk
+        # dispatch cost the old chunked loop 3+ round-trips per log_interval
+        # steps (measured: scripts/bench_eval_breakdown.py, RESULTS.md).
+        with self.mesh, pmesh.pair_sharding(self.mesh):
+            sh = self._idx_sharding()
+            outs = self.jit_eval_chunk(
+                self.state,
+                pmesh.put_global(idx, sh),
+                pmesh.put_global(valid, sh),
+                self.val_data,
+                self.val_cache,
+            )
+            if isinstance(outs, tuple):  # >=256-answer configs: 4-array form
+                pred, label, vld, nll_a = (pmesh.fetch_global(o) for o in outs)
+                nll = float(nll_a.sum())
+            else:
                 from .steps import unpack_eval_chunk
 
                 pred, label, vld, nll = unpack_eval_chunk(pmesh.fetch_global(outs))
-                acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll, qidx=qidx)
-                return
-            pred, label, vld, nll = (pmesh.fetch_global(o) for o in outs)
-            acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll.sum(), qidx=qidx)
-
-        pending = None
-        with self.mesh, pmesh.pair_sharding(self.mesh):
-            sh = self._idx_sharding()
-            for c0 in range(0, nb, C):
-                outs = self.jit_eval_chunk(
-                    self.state,
-                    pmesh.put_global(idx[c0 : c0 + C], sh),
-                    pmesh.put_global(valid[c0 : c0 + C], sh),
-                    self.val_data,
-                    self.val_cache,
-                )
-                if pending is not None:
-                    _drain(pending)
-                pending = (outs, idx[c0 : c0 + C].ravel())
-            if pending is not None:
-                _drain(pending)
+            acc.update(pred.ravel(), label.ravel(), vld.ravel(), nll, qidx=idx.ravel())
         dt = time.time() - t0
         self.log(
             f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "

@@ -62,28 +62,39 @@ def loop(state0, batch, K):
 t_dev = device_loop_time(lambda K: (lambda: loop(state, batch, K)))
 print(f"{'device eval step':<38s} {t_dev*1e3:8.3f} ms  ({B/t_dev:,.0f} q/s ceiling)")
 
-# ---- 2. relay fetch costs ----
-packed = jax.device_put(jnp.zeros((C, B + 1), jnp.int32))
-four = (
-    jax.device_put(jnp.zeros((C, B), jnp.int32)),
-    jax.device_put(jnp.zeros((C, B), jnp.int32)),
-    jax.device_put(jnp.zeros((C, B), jnp.bool_)),
-    jax.device_put(jnp.zeros((C,), jnp.float32)),
-)
-for _ in range(2):  # warm the fetch path
-    np.asarray(packed)
-reps = 20
+# ---- 2. relay costs: H2D put, packed fetch, 4-array fetch ----
+# DISTINCT arrays per rep: jax caches the host copy of a fetched array, so
+# re-fetching the same one measures nothing (first run of this script did).
+reps = 12
+base = jnp.zeros((C, B + 1), jnp.int32)
+packs = [jax.device_put(base + i) for i in range(reps)]
+fours = [
+    (
+        jax.device_put(jnp.full((C, B), i, jnp.int32)),
+        jax.device_put(jnp.full((C, B), i, jnp.int32)),
+        jax.device_put(jnp.zeros((C, B), jnp.bool_) | (i % 2 == 0)),
+        jax.device_put(jnp.full((C,), float(i), jnp.float32)),
+    )
+    for i in range(reps)
+]
+np.asarray(packs[0]); [np.asarray(a) for a in fours[0]]  # drain the queue
 t0 = time.perf_counter()
-for _ in range(reps):
-    np.asarray(packed)
-t_packed = (time.perf_counter() - t0) / reps
+for p in packs[1:]:
+    np.asarray(p)
+t_packed = (time.perf_counter() - t0) / (reps - 1)
 t0 = time.perf_counter()
-for _ in range(reps):
-    for a in four:
+for f4 in fours[1:]:
+    for a in f4:
         np.asarray(a)
-t_four = (time.perf_counter() - t0) / reps
+t_four = (time.perf_counter() - t0) / (reps - 1)
+host_idx = np.zeros((C, B), np.int32)
+t0 = time.perf_counter()
+for i in range(reps):
+    jax.device_put(host_idx + i).block_until_ready()
+t_put = (time.perf_counter() - t0) / reps
 print(f"{'packed 1-array chunk fetch':<38s} {t_packed*1e3:8.3f} ms")
 print(f"{'legacy 4-array chunk fetch':<38s} {t_four*1e3:8.3f} ms")
+print(f"{'one (C,B) int32 device_put':<38s} {t_put*1e3:8.3f} ms")
 print(f"{'fetch saving per chunk':<38s} {(t_four-t_packed)*1e3:8.3f} ms "
       f"({C*B} questions/chunk)")
 
@@ -109,19 +120,39 @@ np.asarray(w)
 t0 = time.perf_counter()
 pending = None
 got = 0
+t_puts = t_disp = t_fetch = 0.0
 for c0 in range(0, nb, C):
-    outs = eval_chunk(
-        state,
-        jax.device_put(idx[c0 : c0 + C]),
-        jax.device_put(valid[c0 : c0 + C]),
-        data,
-        cache,
-    )
+    ta = time.perf_counter()
+    ic = jax.device_put(idx[c0 : c0 + C])
+    vc = jax.device_put(valid[c0 : c0 + C])
+    tb = time.perf_counter()
+    outs = eval_chunk(state, ic, vc, data, cache)
+    tc = time.perf_counter()
     if pending is not None:
         got += int((np.asarray(pending)[:, :-1] >> 16 & 1).sum())
+    td = time.perf_counter()
+    t_puts += tb - ta; t_disp += tc - tb; t_fetch += td - tc
     pending = outs
 got += int((np.asarray(pending)[:, :-1] >> 16 & 1).sum())
 dt = time.perf_counter() - t0
 assert got == NVAL, (got, NVAL)
+nch = nb // C
 print(f"{'e2e eval epoch (packed drain)':<38s} {dt:8.3f} s   ({NVAL/dt:,.0f} q/s wall)")
 print(f"{'wall / device ceiling':<38s} {100*(NVAL/dt)/(B/t_dev):7.1f} %")
+print(f"{'  per-chunk idx/valid device_put':<38s} {t_puts/nch*1e3:8.3f} ms")
+print(f"{'  per-chunk dispatch (async call)':<38s} {t_disp/nch*1e3:8.3f} ms")
+print(f"{'  per-chunk one-behind fetch':<38s} {t_fetch/nch*1e3:8.3f} ms")
+print(f"{'  device compute per chunk':<38s} {C*t_dev*1e3:8.3f} ms")
+
+# ---- 4. one-shot epoch: ONE dispatch + ONE fetch (the shipped path) ----
+w = eval_chunk(state, jax.device_put(idx), jax.device_put(valid), data, cache)
+np.asarray(w)  # compile the nb-step scan + warm
+t0 = time.perf_counter()
+out = eval_chunk(
+    state, jax.device_put(idx), jax.device_put(valid), data, cache
+)
+got2 = int((np.asarray(out)[:, :-1] >> 16 & 1).sum())
+dt2 = time.perf_counter() - t0
+assert got2 == NVAL, (got2, NVAL)
+print(f"{'e2e eval epoch (one-shot dispatch)':<38s} {dt2:8.3f} s   ({NVAL/dt2:,.0f} q/s wall)")
+print(f"{'wall / device ceiling':<38s} {100*(NVAL/dt2)/(B/t_dev):7.1f} %")
