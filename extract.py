@@ -43,7 +43,9 @@ def main(argv=None):
     from rnet.cli import apply_platform
 
     apply_platform(args)
-    dicts = load_dicts(args)
+    dicts = load_dicts(
+        args, checkpoint=args.checkpoint, checkpoint_dir=args.checkpoint_dir
+    )
     cfg = config_from_args(args, dicts)
     if cfg.question_injection_position < 1:
         print(

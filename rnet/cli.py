@@ -11,6 +11,7 @@ flag system"): --model selects a config.json entry; per-field overrides
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Any, Dict, Tuple
 
 from .config import DEFAULT_CONFIG_PATH, ModelConfig, load_config
@@ -194,5 +195,38 @@ def build_datasets(
     return out
 
 
-def load_dicts(args: argparse.Namespace) -> Dictionaries:
-    return build_dictionaries(args.clevr_dir, oov=getattr(args, "oov", "error"))
+def load_dicts(
+    args: argparse.Namespace, checkpoint=None, checkpoint_dir=None
+) -> Dictionaries:
+    """Build dictionaries from the data dir — or, when evaluating a
+    checkpoint that carries its training-time dictionaries, use THOSE.
+
+    Word/answer indices are assigned in first-seen data order, so a
+    regenerated dataset permutes them; scoring a checkpoint through permuted
+    maps silently scrambles the answer head (observed: 0.32 accuracy at
+    NLL 11.9). The carried maps make eval/extract independent of the data
+    dir's index assignment; question words outside the carried vocab follow
+    the --oov policy."""
+    oov = getattr(args, "oov", "error")
+    if checkpoint is not None:
+        from rnet.train.checkpoint import load_exported_dicts, load_run_dicts
+
+        carried, src = None, None
+        ck = str(checkpoint)
+        if ck.endswith(".pkl") and os.path.exists(ck):
+            carried, src = load_exported_dicts(ck), ck
+        elif checkpoint_dir is not None:
+            carried = load_run_dicts(checkpoint_dir, args.model)
+            src = checkpoint_dir
+            if carried is None and os.path.isdir(ck):
+                # explicit orbax epoch path: sidecar lives next to it
+                carried = load_run_dicts(os.path.dirname(ck), args.model)
+                src = os.path.dirname(ck)
+        if carried is not None:
+            w2i, a2i = carried
+            print(
+                f"dictionaries: carried by checkpoint ({src}; "
+                f"{len(w2i)} words, {len(a2i)} answers)"
+            )
+            return Dictionaries(w2i, a2i, oov=oov)
+    return build_dictionaries(args.clevr_dir, oov=oov)

@@ -112,7 +112,13 @@ class Dictionaries:
         return np.asarray(ids, dtype=np.int32)
 
     def encode_answer(self, answer: str) -> int:
-        return self.answer_to_idx[answer]
+        try:
+            return self.answer_to_idx[answer]
+        except KeyError:
+            raise KeyError(
+                f"answer {answer!r} is not in the model's answer vocabulary "
+                f"({sorted(self.answer_to_idx)}) — checkpoint/data mismatch?"
+            ) from None
 
     def answer_classes(self) -> Dict[int, str]:
         """idx -> class name, for per-class accuracy reporting."""

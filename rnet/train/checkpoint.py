@@ -10,15 +10,46 @@ export mirrors the reference's artifact shape for interchange.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 from .steps import TrainState
+
+# Checkpoints carry the dictionaries they were trained with (a deliberate
+# deviation from the reference's bare state_dict, documented in README parity
+# notes): word/answer indices are assigned in first-seen data order, so
+# evaluating a checkpoint against a REGENERATED dataset silently permutes the
+# answer head unless the training-time maps travel with the weights. Observed
+# for real in round 4: a wide-fp checkpoint scored 0.32 (NLL 11.9 — confident
+# but index-scrambled) against a fixture regenerated with the wrong seed.
+DICTS_KEY = "dicts"
+
+
+def _dicts_payload(dicts) -> dict:
+    return {
+        "word_to_idx": dict(dicts.word_to_idx),
+        "answer_to_idx": dict(dicts.answer_to_idx),
+    }
+
+
+def run_dicts_path(directory: str, model_name: str) -> str:
+    return os.path.join(os.path.abspath(directory), f"{model_name}_dictionaries.json")
+
+
+def load_run_dicts(directory: str, model_name: str) -> Optional[Tuple[dict, dict]]:
+    """Dictionaries recorded by CheckpointManager.save for this run, or None."""
+    p = run_dicts_path(directory, model_name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return d["word_to_idx"], {k: int(v) for k, v in d["answer_to_idx"].items()}
 
 
 class CheckpointManager:
@@ -31,17 +62,26 @@ class CheckpointManager:
     (``--keep-checkpoints`` on the train CLI).
     """
 
-    def __init__(self, directory: str, model_name: str, keep: int = 0):
+    def __init__(self, directory: str, model_name: str, keep: int = 0, dicts=None):
         self.directory = os.path.abspath(directory)
         self.model_name = model_name
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
         self.keep = keep
+        self.dicts = dicts
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"{self.model_name}_epoch_{epoch:03d}")
 
     def save(self, state: TrainState, epoch: int) -> str:
+        # record the run's dictionaries once, next to the epoch dirs (orbax
+        # owns the epoch dirs themselves), so eval/extract against any epoch
+        # can recover the training-time word/answer index assignment
+        if self.dicts is not None:
+            p = run_dicts_path(self.directory, self.model_name)
+            if not os.path.exists(p):
+                with open(p, "w") as f:
+                    json.dump(_dicts_payload(self.dicts), f)
         path = self._path(epoch)
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
@@ -136,11 +176,24 @@ def _check_tree_match(name: str, restored, expected, path: str) -> None:
         )
 
 
-def export_weights(state: TrainState, path: str) -> None:
-    """Weights-only pickle export (reference state_dict artifact analogue)."""
+def export_weights(state: TrainState, path: str, dicts=None) -> None:
+    """Weights-only pickle export (reference state_dict artifact analogue).
+
+    Pass ``dicts`` to embed the training-time word/answer maps so the export
+    is evaluatable against regenerated data (see DICTS_KEY note above)."""
     flat = jax.tree.map(np.asarray, {"params": state.params, "batch_stats": state.batch_stats})
+    if dicts is not None:
+        flat[DICTS_KEY] = _dicts_payload(dicts)
     with open(path, "wb") as f:
         pickle.dump(flat, f)
+
+
+def load_exported_dicts(path: str) -> Optional[Tuple[dict, dict]]:
+    """(word_to_idx, answer_to_idx) embedded in a weights pkl, or None."""
+    with open(path, "rb") as f:
+        flat = pickle.load(f)
+    d = flat.get(DICTS_KEY)
+    return (d["word_to_idx"], d["answer_to_idx"]) if d else None
 
 
 def import_weights(state: TrainState, path: str) -> TrainState:

@@ -93,7 +93,9 @@ class Trainer:
         self.jit_train, self.jit_eval = make_jitted_steps(
             self.model, cfg, self.optimizer
         )
-        self.ckpt = CheckpointManager(checkpoint_dir, cfg.name, keep=keep_checkpoints)
+        self.ckpt = CheckpointManager(
+            checkpoint_dir, cfg.name, keep=keep_checkpoints, dicts=dicts
+        )
 
         # device-resident image caches (serve_indices datasets): the decoded
         # padded uint8 images live in HBM once; batches carry only indices.

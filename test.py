@@ -38,7 +38,9 @@ def main(argv=None):
     from rnet.cli import apply_platform
 
     apply_platform(args)
-    dicts = load_dicts(args)
+    dicts = load_dicts(
+        args, checkpoint=args.checkpoint, checkpoint_dir=args.checkpoint_dir
+    )
     cfg = config_from_args(args, dicts)
     # eval only needs the requested split (deterministic transform: no
     # augmentation even for --split train) — avoids decoding/uploading the

@@ -205,6 +205,57 @@ def test_import_weights_wrong_model_raises(fixture_dir, dicts, tmp_path):
         import_weights(tr_bad.state, path)
 
 
+def test_export_carries_dicts_and_cli_prefers_them(fixture_dir, dicts, tmp_path):
+    """Checkpoints carry their training-time dictionaries; eval CLIs use the
+    carried maps so a REGENERATED data dir (permuted first-seen index
+    assignment) cannot silently scramble the answer head (round-4 incident:
+    0.32 accuracy at NLL 11.9 from a wrong-seed fixture regen)."""
+    import argparse
+
+    from rnet.cli import load_dicts
+    from rnet.train.checkpoint import load_exported_dicts
+
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    path = str(tmp_path / "w_dicts.pkl")
+    export_weights(tr.state, path, dicts=dicts)
+    w2i, a2i = load_exported_dicts(path)
+    assert w2i == dicts.word_to_idx and a2i == dicts.answer_to_idx
+    # a legacy export without dicts yields None
+    legacy = str(tmp_path / "w_legacy.pkl")
+    export_weights(tr.state, legacy)
+    assert load_exported_dicts(legacy) is None
+
+    # adversarial data dir: same answers, permuted index assignment
+    import pickle
+
+    evil = tmp_path / "evil_clevr"
+    evil.mkdir()
+    perm_a2i = {a: (i + 1) % len(dicts.answer_to_idx) for a, i in dicts.answer_to_idx.items()}
+    with open(evil / "rnet_dictionaries.pkl", "wb") as f:
+        pickle.dump((dicts.word_to_idx, perm_a2i), f)
+    args = argparse.Namespace(clevr_dir=str(evil), model="test", oov="error")
+    got = load_dicts(args, checkpoint=path, checkpoint_dir=None)
+    assert got.answer_to_idx == dicts.answer_to_idx  # carried maps win
+    # without a checkpoint the permuted local cache is (correctly) used
+    local = load_dicts(args)
+    assert local.answer_to_idx == perm_a2i
+
+
+def test_checkpoint_manager_records_run_dicts(fixture_dir, dicts, tmp_path):
+    """Orbax per-epoch saves record a <model>_dictionaries.json sidecar that
+    load_run_dicts / the eval CLIs recover."""
+    from rnet.train.checkpoint import load_run_dicts
+
+    tr = _sd_trainer(fixture_dir, dicts, tmp_path)
+    ckdir = str(tmp_path / "ckpt")
+    assert load_run_dicts(ckdir, tr.cfg.name) is None
+    tr.ckpt.save(jax.tree.map(np.asarray, tr.state), 1)
+    got = load_run_dicts(ckdir, tr.cfg.name)
+    assert got is not None
+    w2i, a2i = got
+    assert w2i == dicts.word_to_idx and a2i == dicts.answer_to_idx
+
+
 @pytest.mark.slow
 def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)
