@@ -229,4 +229,10 @@ def load_dicts(
                 f"{len(w2i)} words, {len(a2i)} answers)"
             )
             return Dictionaries(w2i, a2i, oov=oov)
+        print(
+            "WARNING: checkpoint carries no dictionaries (pre-round-4 "
+            "artifact?) — word/answer indices come from --clevr-dir; if "
+            "this is not the original training data, accuracy is "
+            "meaningless (index permutation)."
+        )
     return build_dictionaries(args.clevr_dir, oov=oov)

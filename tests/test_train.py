@@ -205,7 +205,7 @@ def test_import_weights_wrong_model_raises(fixture_dir, dicts, tmp_path):
         import_weights(tr_bad.state, path)
 
 
-def test_export_carries_dicts_and_cli_prefers_them(fixture_dir, dicts, tmp_path):
+def test_export_carries_dicts_and_cli_prefers_them(fixture_dir, dicts, tmp_path, capsys):
     """Checkpoints carry their training-time dictionaries; eval CLIs use the
     carried maps so a REGENERATED data dir (permuted first-seen index
     assignment) cannot silently scramble the answer head (round-4 incident:
@@ -236,6 +236,11 @@ def test_export_carries_dicts_and_cli_prefers_them(fixture_dir, dicts, tmp_path)
     args = argparse.Namespace(clevr_dir=str(evil), model="test", oov="error")
     got = load_dicts(args, checkpoint=path, checkpoint_dir=None)
     assert got.answer_to_idx == dicts.answer_to_idx  # carried maps win
+    # a legacy (dict-less) checkpoint warns that indices come from the data dir
+    capsys.readouterr()
+    legacy_dicts = load_dicts(args, checkpoint=legacy, checkpoint_dir=None)
+    assert "carries no dictionaries" in capsys.readouterr().out
+    assert legacy_dicts.answer_to_idx == perm_a2i
     # without a checkpoint the permuted local cache is (correctly) used
     local = load_dicts(args)
     assert local.answer_to_idx == perm_a2i
