@@ -53,6 +53,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--pair-dropout", type=float, default=None, dest="pair_dropout")
     p.add_argument(
+        "--pair-pool",
+        choices=["sum", "mean"],
+        default=None,
+        dest="pair_pool",
+        help="pooling over the n^2 pair axis: sum (reference parity, "
+        "default) or mean (pooled/n^2 — keeps f_phi's input O(1) at "
+        "extreme pair counts; required in practice for the 32x32 grid)",
+    )
+    p.add_argument(
         "--object-mask",
         dest="object_mask",
         action="store_true",
@@ -128,6 +137,7 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "dropout",
             "question_injection_position",
             "pair_dropout",
+            "pair_pool",
             "object_mask",
             "compute_dtype",
             "rl_impl",

@@ -53,6 +53,13 @@ class ModelConfig:
     f_layers: Tuple[int, ...] = (256, 256)
     dropout: float = 0.5
     pair_dropout: float = 0.0
+    # 'sum' (reference parity) | 'mean': pooling over the n^2 pair axis.
+    # Mathematically a reparameterization of f_phi's first layer (W -> W*n^2),
+    # but at extreme pair counts it changes the TRAINING story: at n=1024
+    # (1,048,576 pairs/question) sum-pooling saturates f at init (step-10
+    # grad norm ~1e5, measured) and Adam parks the run at the majority-class
+    # prior; mean-pooling keeps f's input O(1) at any grid size.
+    pair_pool: str = "sum"
 
     # --- runtime ---
     n_answers: int = 28
@@ -128,6 +135,10 @@ def load_config(
     if overrides:
         d.update(_coerce({k: v for k, v in overrides.items() if v is not None}))
     cfg = ModelConfig(**d)
+    if cfg.pair_pool not in ("sum", "mean"):
+        raise ValueError(
+            f"pair_pool must be 'sum' or 'mean', got {cfg.pair_pool!r}"
+        )
     if cfg.object_mask and not cfg.state_description:
         # fail at startup, not at the first train step inside jit: only the
         # state-description datasets carry the per-sample n_objects the mask

@@ -54,6 +54,11 @@ class RelationalLayer(nn.Module):
     question_injection_position: int = 0
     dropout: float = 0.5
     pair_dropout: float = 0.0
+    # 'sum' (reference parity) | 'mean' (pooled / n^2, applied in fp32 after
+    # the g impls so all four paths share it; see ModelConfig.pair_pool for
+    # why extreme pair counts need it). With object_mask the divisor stays
+    # the STATIC n^2 (a constant rescale), not the per-sample valid count.
+    pair_pool: str = "sum"
     object_mask: bool = False
     impl: str = "auto"
     dtype: jnp.dtype = jnp.bfloat16
@@ -64,6 +69,10 @@ class RelationalLayer(nn.Module):
             raise ValueError(
                 f"question_injection_position {inject} out of range for "
                 f"{len(self.g_layers)} g layers"
+            )
+        if self.pair_pool not in ("sum", "mean"):
+            raise ValueError(
+                f"pair_pool must be 'sum' or 'mean', got {self.pair_pool!r}"
             )
         g_in = g_input_dims(self.obj_dim, self.q_dim, self.g_layers, inject)
         self.gw = [
@@ -221,6 +230,9 @@ class RelationalLayer(nn.Module):
             raise ValueError(f"unknown relational impl {impl!r}")
 
         y = pooled.astype(jnp.float32)
+        if self.pair_pool == "mean":
+            n = x.shape[1]
+            y = y / jnp.float32(n * n)
         for l in range(len(self.fw) - 1):
             y = jax.nn.relu(y @ self.fw[l] + self.fb[l])
         if train and self.dropout > 0.0:

@@ -58,6 +58,7 @@ class RN(nn.Module):
             question_injection_position=cfg.question_injection_position,
             dropout=cfg.dropout,
             pair_dropout=cfg.pair_dropout,
+            pair_pool=cfg.pair_pool,
             object_mask=cfg.object_mask,
             impl=cfg.rl_impl,
             dtype=dt,

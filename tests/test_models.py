@@ -296,3 +296,44 @@ def test_lstm_fixed_max_vs_per_batch_padding_every_length():
             atol=1e-6,
             err_msg=f"L={L} inverted",
         )
+
+
+def test_pair_pool_mean_is_reparameterized_sum():
+    """pair_pool='mean' == pair_pool='sum' with f0 scaled by n^2 (the
+    reparameterization identity that makes 'mean' parity-safe), and the two
+    impls agree under 'mean'. The knob exists because at n=1024 the raw sum
+    saturates f at init (grad norm ~1e5 measured) — see ModelConfig.pair_pool."""
+    B, n, c, h = 2, 6, 5, 8
+    kw = dict(
+        obj_dim=c, q_dim=h, g_layers=(32, 32), f_layers=(16,), n_answers=7,
+        question_injection_position=0, dropout=0.0, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.key(1), (B, n, c))
+    q = jax.random.normal(jax.random.key(2), (B, h))
+    m_mean = RelationalLayer(impl="naive", pair_pool="mean", **kw)
+    m_sum = RelationalLayer(impl="naive", pair_pool="sum", **kw)
+    params = m_mean.init(jax.random.key(0), x, q)
+    out_mean = m_mean.apply(params, x, q)
+    # scale f0 by n^2: f(sum(a) @ (W/n^2)) == f(mean(a) @ W)
+    import flax
+
+    scaled = flax.core.unfreeze(params)
+    scaled["params"]["f0_kernel"] = scaled["params"]["f0_kernel"] / (n * n)
+    out_sum_scaled = m_sum.apply(scaled, x, q)
+    np.testing.assert_allclose(
+        np.asarray(out_mean), np.asarray(out_sum_scaled), rtol=2e-5, atol=2e-5
+    )
+    m_mean_xla = RelationalLayer(impl="xla", pair_pool="mean", **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_mean), np.asarray(m_mean_xla.apply(params, x, q)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pair_pool_validation():
+    from rnet.config import load_config
+
+    with pytest.raises(ValueError, match="pair_pool"):
+        load_config("original-fp", overrides={"pair_pool": "max"})
+    assert load_config("stretch-fp-32").pair_pool == "mean"
+    assert load_config("original-fp").pair_pool == "sum"  # reference parity
