@@ -74,6 +74,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_epoch: int = 1,
         device_data: bool = False,
+        watchdog=None,
     ):
         self.cfg = cfg
         self.dicts = dicts
@@ -86,6 +87,11 @@ class Trainer:
         self.num_threads = num_threads
         self.log_interval = log_interval
         self.log = log_fn
+        # heartbeat for the stall watchdog (rnet/utils/watchdog.py): touched
+        # at every host-visible progress point so a hung relay call — the
+        # only thing that stops the beats — is detected and the process is
+        # restarted by the supervisor with --resume latest
+        self._beat = watchdog.beat if watchdog is not None else (lambda: None)
 
         self.mesh = pmesh.make_mesh(mesh_spec)
         self.model = RN(cfg=cfg, vocab_size=vocab_size)
@@ -291,6 +297,7 @@ class Trainer:
                 {"train/loss": float(ms[-1, 0]), "train/accuracy": float(ms[-1, 1]),
                  "train/grad_norm": float(ms[-1, 2]), "train/lr": lr},
             )
+            self._beat()
 
         pending = None
         with self.mesh, pmesh.pair_sharding(self.mesh), profile_trace(prof_dir):
@@ -356,6 +363,7 @@ class Trainer:
             f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "
             f"nll: {acc.mean_nll:.4f} ({n / dt:.0f} q/s)"
         )
+        self._beat()
         return {
             "epoch": epoch,
             "val_acc": acc.accuracy,
@@ -425,6 +433,7 @@ class Trainer:
                          "train/grad_norm": float(metrics["grad_norm"]),
                          "train/lr": lr},
                     )
+                    self._beat()
         mean_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
         mean_acc = float(jnp.stack(accs).mean()) if accs else float("nan")
         dt = time.time() - t0
@@ -489,6 +498,7 @@ class Trainer:
             f"Eval Epoch: {epoch} accuracy: {acc.accuracy:.4f} "
             f"nll: {acc.mean_nll:.4f} ({n / dt:.0f} q/s)"
         )
+        self._beat()
         return {
             "epoch": epoch,
             "val_acc": acc.accuracy,
@@ -514,6 +524,7 @@ class Trainer:
                     acc.dump(results_dir, tag=f"val_epoch{epoch:03d}")
             if save_every and epoch % save_every == 0:
                 self.ckpt.save(jax.tree.map(np.asarray, self.state), epoch)
+                self._beat()
             self.epoch = epoch
             self.history.append(stats)
         return self.history

@@ -166,3 +166,28 @@ def test_train_cli_resume_latest(trained, fixture_dir, tmp_path):
     with open(os.path.join(results, "history.json")) as f:
         hist = json.load(f)
     assert hist[0]["epoch"] >= 3  # continued from epoch >= 2
+
+
+def test_train_cli_supervised_with_watchdog(fixture_dir, tmp_path):
+    """--auto-restart supervises a child train.py; --stall-timeout arms the
+    watchdog inside it (rnet/utils/watchdog.py). A healthy run completes in
+    one child with exit 0; the stall/restart mechanics themselves are pinned
+    by tests/test_watchdog.py."""
+    ckpt_dir = str(tmp_path / "model")
+    results = str(tmp_path / "results")
+    rc = train_cli.main(
+        [
+            "--clevr-dir", fixture_dir,
+            "--model", "original-sd",
+            "--epochs", "1",
+            "--batch-size", "16",
+            "--precision", "float32",
+            "--checkpoint-dir", ckpt_dir,
+            "--test-results-dir", results,
+            "--log-interval", "100",
+            "--stall-timeout", "600",
+            "--auto-restart", "2",
+        ]
+    )
+    assert rc == 0
+    assert any("original-sd_epoch_001" in n for n in os.listdir(ckpt_dir))

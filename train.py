@@ -61,11 +61,50 @@ def parse_args(argv=None):
         help="write a jax.profiler trace of one epoch here (see --profile-epoch)",
     )
     p.add_argument("--profile-epoch", type=int, default=1)
+    p.add_argument(
+        "--stall-timeout",
+        type=float,
+        default=0.0,
+        help="seconds without training progress before the process "
+        "hard-exits for a supervised restart (0: off). The device relay "
+        "can hang a blocking call forever; pick a value above the longest "
+        "legitimate gap — the first chunk of each batch-size phase "
+        "includes the XLA compile, minutes for large programs (900 is a "
+        "safe default on this backend).",
+    )
+    p.add_argument(
+        "--auto-restart",
+        type=int,
+        default=0,
+        help="supervise training: relaunch with --resume latest up to N "
+        "times whenever the run exits on a detected stall "
+        "(use with --stall-timeout; other exit codes are never retried)",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.auto_restart > 0:
+        # supervisor mode: run the same command as a child process (minus
+        # --auto-restart) and relaunch it with --resume latest on each
+        # stall exit. The child does all the actual work; this process only
+        # watches exit codes, so a wedged relay can never take it down.
+        from rnet.utils.watchdog import strip_flag, supervise
+
+        child_argv = strip_flag(
+            list(sys.argv[1:]) if argv is None else list(argv), "--auto-restart"
+        )
+        if args.stall_timeout <= 0:
+            print(
+                "WARNING: --auto-restart without --stall-timeout — stalls "
+                "hang forever and are never detected; restarts only cover "
+                "stall exits from a watchdog-enabled child"
+            )
+        return supervise(
+            [sys.executable, os.path.abspath(__file__)] + child_argv,
+            max_restarts=args.auto_restart,
+        )
     if args.multihost:
         from rnet.parallel.mesh import distributed_init
 
@@ -82,6 +121,13 @@ def main(argv=None):
     print(f"model: {cfg.name} | vocab {dicts.vocab_size} | answers {dicts.n_answers}")
     print(f"config: {cfg}")
     ds = build_datasets(args, cfg, dicts)
+
+    watchdog = None
+    if args.stall_timeout > 0:
+        from rnet.utils.watchdog import Watchdog
+
+        watchdog = Watchdog(args.stall_timeout).start()
+        print(f"stall watchdog armed: {args.stall_timeout:.0f}s")
 
     trainer = Trainer(
         cfg,
@@ -104,7 +150,10 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         profile_epoch=args.profile_epoch,
         device_data=(args.data_pipeline == "device"),
+        watchdog=watchdog,
     )
+    if watchdog is not None:
+        watchdog.beat()  # Trainer init (device caches, first compile) done
     if args.resume is not None:
         if str(args.resume) == "latest":
             latest = trainer.ckpt.latest_epoch()
@@ -125,6 +174,8 @@ def main(argv=None):
         save_every=args.save_every,
         results_dir=args.test_results_dir,
     )
+    if watchdog is not None:
+        watchdog.stop()
     if args.test_results_dir:
         os.makedirs(args.test_results_dir, exist_ok=True)
         with open(os.path.join(args.test_results_dir, "history.json"), "w") as f:
