@@ -64,6 +64,13 @@ class Watchdog:
         self._last = time.monotonic()
 
     def _exit_stall(self, idle: float) -> None:
+        # os._exit discards buffered stdout (block-buffered when redirected
+        # to a file) — flush so the log keeps every line up to the stall
+        # (observed: a production stall ate the last ~10 progress lines)
+        try:
+            sys.stdout.flush()
+        except Exception:
+            pass
         sys.stderr.write(
             f"WATCHDOG: no training progress for {idle:.0f}s "
             f"(timeout {self.timeout:.0f}s) — device relay presumed hung; "
@@ -142,7 +149,10 @@ def supervise(argv: list[str], max_restarts: int, run=None, log=None) -> int:
     if run is None:
         import subprocess
 
-        run = subprocess.call
+        def run(cmd):  # unbuffered child: no log lines lost to a hard exit
+            return subprocess.call(
+                cmd, env={**os.environ, "PYTHONUNBUFFERED": "1"}
+            )
     if log is None:
         log = lambda m: print(m, flush=True)  # noqa: E731
     rc = run(argv)

@@ -124,3 +124,38 @@ def test_real_process_stall_exit():
     assert proc.returncode == EXIT_STALL
     assert "WATCHDOG" in proc.stderr
     assert time.time() - t0 < 10  # killed promptly, not after the sleep
+
+
+def test_stall_exit_flushes_buffered_stdout(tmp_path):
+    """os._exit discards buffered stdout; the stall handler must flush first
+    so the training log keeps every line up to the hang (a production stall
+    ate the tail of the round-4 stretch-32 log)."""
+    code = (
+        "import sys, time\n"
+        "from rnet.utils.watchdog import Watchdog\n"
+        "print('progress-line-before-stall')\n"  # buffered: stdout is a pipe
+        "Watchdog(0.3, poll=0.05).start()\n"
+        "time.sleep(30)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=20
+    )
+    assert proc.returncode == EXIT_STALL
+    assert "progress-line-before-stall" in proc.stdout
+
+
+def test_supervise_child_env_is_unbuffered():
+    captured = {}
+
+    def fake_call(cmd, env=None):
+        captured["env"] = env
+        return 0
+
+    import subprocess as sp
+    orig = sp.call
+    sp.call = fake_call
+    try:
+        supervise(["prog"], max_restarts=0)
+    finally:
+        sp.call = orig
+    assert captured["env"]["PYTHONUNBUFFERED"] == "1"
