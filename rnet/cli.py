@@ -225,13 +225,17 @@ def load_dicts(
         ck = str(checkpoint)
         if ck.endswith(".pkl") and os.path.exists(ck):
             carried, src = load_exported_dicts(ck), ck
-        elif checkpoint_dir is not None:
-            carried = load_run_dicts(checkpoint_dir, args.model)
-            src = checkpoint_dir
-            if carried is None and os.path.isdir(ck):
-                # explicit orbax epoch path: sidecar lives next to it
+        else:
+            # an explicit orbax epoch path names its run: the sidecar next
+            # to it takes PRECEDENCE over --checkpoint-dir's (which may
+            # default to ./model and belong to an unrelated run — pairing
+            # exp A's weights with dir B's maps permutes the answer head)
+            if os.path.isdir(ck):
                 carried = load_run_dicts(os.path.dirname(ck), args.model)
                 src = os.path.dirname(ck)
+            if carried is None and checkpoint_dir is not None:
+                carried = load_run_dicts(checkpoint_dir, args.model)
+                src = checkpoint_dir
         if carried is not None:
             w2i, a2i = carried
             print(

@@ -749,6 +749,11 @@ def fused_pairwise_g(
     n^2-heavy chain runs in the fused kernel via pairwise_core (under a
     multi-device mesh: pairwise_core_sharded).
     """
+    if int8 and pair_keep < 1.0:
+        # same guard the sharded path applies (pairwise_core_sharded) — the
+        # single-device int8 kernel has no dropout support either, and
+        # silently ignoring pair_keep would change documented semantics
+        raise ValueError("int8 is inference-only; pair dropout cannot be active")
     u, v, s, qa, ws, bs = _project_pair_inputs(x, q, gw, gb, inject, dtype)
     if int8 and mesh is None:
         return pairwise_core_int8(u, v, s, qa, ws, bs, inject=inject, interpret=interpret)

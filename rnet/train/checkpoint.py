@@ -69,6 +69,28 @@ class CheckpointManager:
         self._ckpt = ocp.StandardCheckpointer()
         self.keep = keep
         self.dicts = dicts
+        # Fail fast if this dir already records dictionaries from a previous
+        # run that disagree with this run's: saving new epochs next to an old
+        # sidecar (or resuming old epochs against regenerated data) silently
+        # permutes the answer head — the round-4 0.32-accuracy incident. This
+        # catches BOTH directions (new-run-into-stale-dir and
+        # resume-against-wrong-data) before any training happens.
+        if dicts is not None:
+            existing = load_run_dicts(self.directory, model_name)
+            if existing is not None and existing != (
+                dict(dicts.word_to_idx),
+                {k: int(v) for k, v in dicts.answer_to_idx.items()},
+            ):
+                raise ValueError(
+                    f"checkpoint dir {self.directory} records dictionaries "
+                    f"(from {run_dicts_path(self.directory, model_name)}) that "
+                    f"differ from the current dataset's — the data was "
+                    f"regenerated with a different seed/content, so answer "
+                    f"indices would permute silently. Regenerate the dataset "
+                    f"with the original seed, or use a fresh --checkpoint-dir "
+                    f"(or delete the sidecar if the old checkpoints are "
+                    f"disposable)."
+                )
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"{self.model_name}_epoch_{epoch:03d}")

@@ -128,9 +128,15 @@ class Trainer:
             return None
 
         self.train_cache = _device_cache(train_ds, train=True)
+        self._beat()  # init beats: each heavy stage restarts the stall clock,
+        # so --stall-timeout bounds the longest single init step (one cache
+        # upload, one compile), not the whole init — otherwise a
+        # longer-than-timeout init would loop restarts forever without ever
+        # reaching a training step
         self.val_cache = (
             self.train_cache if val_ds is train_ds else _device_cache(val_ds, train=False)
         )
+        self._beat()
 
         # device-resident per-question data + chunked multi-step dispatch:
         # the whole epoch's tokens/answers/(objects|image indices) live in
@@ -160,9 +166,11 @@ class Trainer:
                 return {k: pmesh.put_global(v, repl) for k, v in arrs.items()}
 
             self.train_data = _prep(train_ds)
+            self._beat()
             self.val_data = (
                 self.train_data if val_ds is train_ds else _prep(val_ds)
             )
+            self._beat()
 
         # init on a sample batch (static shapes fixed by config maxima)
         bs0 = bs.int_value(1)
@@ -181,6 +189,7 @@ class Trainer:
             ),
             self.mesh,
         )
+        self._beat()  # state init (first device dispatch) done
         self.epoch = 0
         self.history: list[Dict[str, float]] = []
 

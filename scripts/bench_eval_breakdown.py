@@ -106,16 +106,27 @@ data = {
     "answer": batch["answer"],
 }
 # fake a NVAL-question split by tiling indices over the B real rows
+if NVAL % B:
+    NVAL = (NVAL // B) * B
+    print(f"note: n_val truncated to {NVAL} (multiple of batch size {B})")
 nb = NVAL // B
 idx = (np.arange(NVAL, dtype=np.int32) % B).reshape(nb, B)
 valid = np.ones((nb, B), bool)
 cache = None
 
-# warm: compile eval_chunk + prime the fetch path before timing
+# warm: compile eval_chunk + prime the fetch path before timing. The last
+# chunk may be a remainder shape (nb % C rows) — compile that too, or its
+# compile lands inside the timed loop and skews the per-chunk averages.
 w = eval_chunk(
     state, jax.device_put(idx[:C]), jax.device_put(valid[:C]), data, cache
 )
 np.asarray(w)
+rem = nb % C
+if rem:
+    w = eval_chunk(
+        state, jax.device_put(idx[:rem]), jax.device_put(valid[:rem]), data, cache
+    )
+    np.asarray(w)
 
 t0 = time.perf_counter()
 pending = None
@@ -136,7 +147,7 @@ for c0 in range(0, nb, C):
 got += int((np.asarray(pending)[:, :-1] >> 16 & 1).sum())
 dt = time.perf_counter() - t0
 assert got == NVAL, (got, NVAL)
-nch = nb // C
+nch = -(-nb // C)  # ceil: the remainder chunk pays the same per-call relay costs
 print(f"{'e2e eval epoch (packed drain)':<38s} {dt:8.3f} s   ({NVAL/dt:,.0f} q/s wall)")
 print(f"{'wall / device ceiling':<38s} {100*(NVAL/dt)/(B/t_dev):7.1f} %")
 print(f"{'  per-chunk idx/valid device_put':<38s} {t_puts/nch*1e3:8.3f} ms")

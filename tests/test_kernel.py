@@ -309,6 +309,19 @@ def test_int8_unsupported_shape_falls_back_loudly():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+def test_int8_with_pair_dropout_raises_on_single_device_too():
+    """int8+pair_keep<1 raises identically with and without a mesh — the
+    single-device path used to silently drop the dropout instead."""
+    x = jax.random.normal(jax.random.key(0), (2, 8, 4))
+    q = jax.random.normal(jax.random.key(1), (2, 6))
+    gw = [jnp.zeros((14, 32)), jnp.zeros((32, 32))]
+    gb = [jnp.zeros(32), jnp.zeros(32)]
+    with pytest.raises(ValueError, match="inference-only"):
+        fused_pairwise_g(
+            x, q, gw, gb, inject=0, int8=True, pair_keep=0.5, seed=jnp.uint32(0)
+        )
+
+
 def test_int8_train_request_warns():
     """rl_impl='pallas_int8' during training runs the bf16 kernel — loudly."""
     from rnet.models.relational import RelationalLayer

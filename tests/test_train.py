@@ -261,6 +261,94 @@ def test_checkpoint_manager_records_run_dicts(fixture_dir, dicts, tmp_path):
     assert w2i == dicts.word_to_idx and a2i == dicts.answer_to_idx
 
 
+def test_checkpoint_manager_rejects_stale_sidecar(dicts, tmp_path):
+    """A checkpoint dir recording dictionaries that disagree with the current
+    run's fails at manager CONSTRUCTION — both directions of the round-4
+    permuted-index incident (new run into a stale dir; resume against
+    regenerated data) die before any training step."""
+    import json
+
+    from rnet.train.checkpoint import run_dicts_path
+
+    ckdir = str(tmp_path / "ckpt")
+    os.makedirs(ckdir)
+    perm = {
+        a: (i + 1) % len(dicts.answer_to_idx)
+        for a, i in dicts.answer_to_idx.items()
+    }
+    with open(run_dicts_path(ckdir, "test"), "w") as f:
+        json.dump(
+            {"word_to_idx": dict(dicts.word_to_idx), "answer_to_idx": perm}, f
+        )
+    with pytest.raises(ValueError, match="differ from the current dataset"):
+        CheckpointManager(ckdir, "test", dicts=dicts)
+    # a matching sidecar (same-run resume) constructs fine
+    with open(run_dicts_path(ckdir, "test"), "w") as f:
+        json.dump(
+            {
+                "word_to_idx": dict(dicts.word_to_idx),
+                "answer_to_idx": dict(dicts.answer_to_idx),
+            },
+            f,
+        )
+    CheckpointManager(ckdir, "test", dicts=dicts)
+
+
+def test_load_dicts_prefers_sidecar_next_to_explicit_checkpoint(dicts, tmp_path):
+    """An explicit orbax epoch path names its run: the sidecar NEXT TO IT must
+    beat --checkpoint-dir's (which may default to ./model and belong to an
+    unrelated run — exp A's weights through dir B's maps permutes the head)."""
+    import argparse
+    import json
+
+    from rnet.cli import load_dicts
+    from rnet.train.checkpoint import run_dicts_path
+
+    run_a = tmp_path / "run_a"
+    epoch_dir = run_a / "test_epoch_001"
+    epoch_dir.mkdir(parents=True)
+    with open(run_dicts_path(str(run_a), "test"), "w") as f:
+        json.dump(
+            {
+                "word_to_idx": dict(dicts.word_to_idx),
+                "answer_to_idx": dict(dicts.answer_to_idx),
+            },
+            f,
+        )
+    stale = tmp_path / "model"
+    stale.mkdir()
+    perm = {
+        a: (i + 1) % len(dicts.answer_to_idx)
+        for a, i in dicts.answer_to_idx.items()
+    }
+    with open(run_dicts_path(str(stale), "test"), "w") as f:
+        json.dump({"word_to_idx": dict(dicts.word_to_idx), "answer_to_idx": perm}, f)
+    args = argparse.Namespace(clevr_dir=str(tmp_path), model="test", oov="error")
+    got = load_dicts(args, checkpoint=str(epoch_dir), checkpoint_dir=str(stale))
+    assert got.answer_to_idx == dicts.answer_to_idx  # run_a's sidecar wins
+    # with no adjacent sidecar, --checkpoint-dir's is still used
+    run_b = tmp_path / "run_b" / "test_epoch_001"
+    run_b.mkdir(parents=True)
+    got = load_dicts(args, checkpoint=str(run_b), checkpoint_dir=str(stale))
+    assert got.answer_to_idx == perm
+
+
+def test_trainer_init_beats_watchdog(fixture_dir, dicts, tmp_path):
+    """Trainer init touches the stall watchdog between its heavy stages, so
+    --stall-timeout bounds one init step, not the whole init (an init longer
+    than the timeout would otherwise restart-loop forever)."""
+
+    class FakeDog:
+        count = 0
+
+        def beat(self):
+            self.count += 1
+
+    dog = FakeDog()
+    _sd_trainer(fixture_dir, dicts, tmp_path, watchdog=dog)
+    assert dog.count >= 3
+
+
 @pytest.mark.slow
 def test_weights_only_export_import(fixture_dir, dicts, tmp_path):
     tr = _sd_trainer(fixture_dir, dicts, tmp_path)

@@ -68,9 +68,12 @@ def parse_args(argv=None):
         help="seconds without training progress before the process "
         "hard-exits for a supervised restart (0: off). The device relay "
         "can hang a blocking call forever; pick a value above the longest "
-        "legitimate gap — the first chunk of each batch-size phase "
+        "legitimate SINGLE gap — the first chunk of each batch-size phase "
         "includes the XLA compile, minutes for large programs (900 is a "
-        "safe default on this backend).",
+        "safe default on this backend). Trainer init beats between its "
+        "stages, so the timeout bounds one cache upload / one compile, "
+        "not the whole init; a multi-GB device-pipeline cache upload is "
+        "one blocking call — raise the timeout above it.",
     )
     p.add_argument(
         "--auto-restart",
