@@ -19,8 +19,15 @@ from .data.clevr import ClevrDataset, ClevrDatasetStateDescription
 from .data.vocab import Dictionaries, build_dictionaries
 
 
-def add_common_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--clevr-dir", required=True, help="CLEVR_v1.0 root directory")
+def add_common_args(p: argparse.ArgumentParser, clevr_required: bool = True) -> None:
+    # serve.py runs without a data dir (dictionaries come carried by the
+    # checkpoint); every other CLI requires one
+    p.add_argument(
+        "--clevr-dir",
+        required=clevr_required,
+        default=None,
+        help="CLEVR_v1.0 root directory",
+    )
     p.add_argument("--model", default="original-fp", help="config.json model name")
     p.add_argument("--config", default=DEFAULT_CONFIG_PATH, help="config.json path")
     p.add_argument("--batch-size", type=int, default=64)
@@ -248,5 +255,10 @@ def load_dicts(
             "artifact?) — word/answer indices come from --clevr-dir; if "
             "this is not the original training data, accuracy is "
             "meaningless (index permutation)."
+        )
+    if getattr(args, "clevr_dir", None) is None:
+        raise SystemExit(
+            "no dictionaries available: the checkpoint carries none and no "
+            "--clevr-dir was given to rebuild them from training data"
         )
     return build_dictionaries(args.clevr_dir, oov=oov)
