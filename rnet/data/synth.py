@@ -45,7 +45,10 @@ def _draw_object(
 ) -> None:
     cx = (obj["3d_coords"][0] / 3.0 * 0.4 + 0.5) * W
     cy = (obj["3d_coords"][1] / 3.0 * 0.4 + 0.5) * H
-    if style == "v2":  # bigger sprites: every attribute visible at 8x8-grid scale
+    if style == "v3":  # perspective-projected radius (size-distance confound)
+        r = obj["r_frac"] * min(W, H)
+        width = max(1, round(0.22 * r))
+    elif style == "v2":  # bigger sprites: every attribute visible at 8x8-grid scale
         r = (0.075 if obj["size"] == "small" else 0.13) * min(W, H)
         width = max(2, round(0.030 * min(W, H)))
     else:
@@ -264,6 +267,183 @@ def _make_questions_v2(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, 
     return qs
 
 
+def _random_scene_v3(
+    rng: random.Random, n_min: int = 4, n_max: int = 10, _depth: int = 0
+) -> List[Dict]:
+    """Fixture-v3 "CLEVR-hard" scenes (round 5: restore accuracy signal —
+    fixture-v2 saturated at 99.98%, so accuracy comparisons lost all power).
+
+    Three difficulty sources v2 deliberately removed, tuned to land
+    original-fp in the reference's real-CLEVR regime (~85-95%):
+      * crowding: 4-10 objects (v2: 2-5) at v1 sprite scale;
+      * partial occlusion: placement only guarantees a visible crescent
+        (center distance >= max(0.55*(ri+rj), 0.9*max(ri, rj))) instead of
+        v2's full separation — attributes of a half-hidden object must be
+        read from the visible sliver;
+      * size-distance confound: apparent radius = size_base * (0.75 +
+        0.5*depth) with depth following y (painter's order: larger y is
+        drawn later, i.e. nearer) — a far 'large' projects like a near
+        'small', so size questions need the position *relation*, not a
+        local pixel cue.
+    Labels stay exact: answers are computed from scene truth, every sprite
+    keeps a crop/rotation-safe margin, and the crescent rule bounds how
+    much of any object occlusion can hide.
+    """
+    n = rng.randint(n_min, n_max)
+    objs: List[Dict] = []
+    taken: List[Tuple[float, float, float]] = []  # (x, y, r in scene units)
+    for _ in range(n):
+        size = rng.choice(CLEVR_SIZES)
+        placed = False
+        for _attempt in range(400):
+            x, y = rng.uniform(-2.2, 2.2), rng.uniform(-2.2, 2.2)
+            depth = (y + 2.8) / 5.6  # 0 = back (top row), 1 = front (bottom)
+            scale = 0.75 + 0.5 * depth
+            r_frac = (0.055 if size == "small" else 0.10) * scale
+            r_units = r_frac * 7.5  # canvas fraction -> scene units (0.4/3)
+            lim = (0.40 - r_frac) * 7.5  # 16px crop jitter + rotation safe
+            if abs(x) > lim or abs(y) > lim:
+                continue
+            if all(
+                (x - tx) ** 2 + (y - ty) ** 2
+                >= max(0.55 * (r_units + tr), 0.9 * max(r_units, tr)) ** 2
+                for tx, ty, tr in taken
+            ):
+                placed = True
+                break
+        if not placed:  # crowded placement starved: drop this object
+            continue
+        taken.append((x, y, r_units))
+        objs.append(
+            {
+                "color": rng.choice(CLEVR_COLORS),
+                "shape": rng.choice(CLEVR_SHAPES),
+                "material": rng.choice(CLEVR_MATERIALS),
+                "size": size,
+                "rotation": rng.uniform(0, 360),
+                "3d_coords": [x, y, 0.35],
+                "pixel_coords": [0, 0, 0],
+                "r_frac": r_frac,
+            }
+        )
+    if len(objs) < 3 and _depth < 20:  # starved scene: resample
+        return _random_scene_v3(rng, n_min, n_max, _depth + 1)
+    return objs
+
+
+def _make_questions_v3(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, str, str]]:
+    """Fixture-v3 question mix (~14/image): v2's five families PLUS the
+    spatial-relational templates real CLEVR leans on (left/right/behind/
+    front counts, closest-object queries) and size questions under the
+    perspective confound. Anchors are uniquely-colored objects so every
+    reference is unambiguous; answers are computed from scene truth."""
+    qs: List[Tuple[str, str, str]] = []
+    colors_present = [o["color"] for o in objs]
+    shapes_present = [o["shape"] for o in objs]
+
+    def pick(pool, present):
+        return rng.choice(present) if present and rng.random() < 0.5 else rng.choice(pool)
+
+    # --- count ---
+    c = pick(CLEVR_COLORS, colors_present)
+    qs.append((f"How many {c} things are there?", str(sum(o["color"] == c for o in objs)), "count"))
+    s = pick(CLEVR_SHAPES, shapes_present)
+    qs.append((f"How many {s}s are there?", str(sum(o["shape"] == s for o in objs)), "count"))
+    qs.append(("How many things are there?", str(len(objs)), "count"))
+    m = rng.choice(CLEVR_MATERIALS)
+    qs.append((f"How many {m} things are there?", str(sum(o["material"] == m for o in objs)), "count"))
+
+    # unique-color anchors for every relational reference
+    uniq = [o for o in objs if colors_present.count(o["color"]) == 1]
+    rng.shuffle(uniq)
+
+    # --- spatial-relational count (left/right = x, behind/front = y) ---
+    if uniq:
+        a = uniq[0]
+        rel, axis, sign = rng.choice(
+            [("left of", 0, -1), ("right of", 0, +1),
+             ("behind", 1, -1), ("in front of", 1, +1)]
+        )
+        cnt = sum(
+            sign * (o["3d_coords"][axis] - a["3d_coords"][axis]) > 0
+            for o in objs
+            if o is not a
+        )
+        qs.append(
+            (f"How many things are {rel} the {a['color']} thing?", str(cnt), "count")
+        )
+
+    # --- exist (incl. conjunctions) ---
+    s = pick(CLEVR_SHAPES, shapes_present)
+    qs.append((f"Is there a {s} in the scene?", "yes" if any(o["shape"] == s for o in objs) else "no", "exist"))
+    o0 = rng.choice(objs)
+    c2, s2 = (o0["color"], o0["shape"]) if rng.random() < 0.5 else (
+        rng.choice(CLEVR_COLORS), rng.choice(CLEVR_SHAPES)
+    )
+    hit = any(o["color"] == c2 and o["shape"] == s2 for o in objs)
+    qs.append((f"Is there a {c2} {s2} in the scene?", "yes" if hit else "no", "exist"))
+    sz, mt = rng.choice(CLEVR_SIZES), rng.choice(CLEVR_MATERIALS)
+    hit = any(o["size"] == sz and o["material"] == mt for o in objs)
+    qs.append((f"Is there a {sz} {mt} thing in the scene?", "yes" if hit else "no", "exist"))
+
+    # --- compare-numbers ---
+    c1 = pick(CLEVR_COLORS, colors_present)
+    c2 = pick(CLEVR_COLORS, [cc for cc in colors_present if cc != c1])
+    if c1 != c2:
+        n1 = sum(o["color"] == c1 for o in objs)
+        n2 = sum(o["color"] == c2 for o in objs)
+        qs.append((f"Are there more {c1} things than {c2} things?", "yes" if n1 > n2 else "no", "greater_than"))
+        qs.append((
+            f"Are there the same number of {c1} things and {c2} things?",
+            "yes" if n1 == n2 else "no", "equal_integer",
+        ))
+    s1 = pick(CLEVR_SHAPES, shapes_present)
+    s2 = pick(CLEVR_SHAPES, [ss for ss in shapes_present if ss != s1])
+    if s1 != s2:
+        m1 = sum(o["shape"] == s1 for o in objs)
+        m2 = sum(o["shape"] == s2 for o in objs)
+        qs.append((f"Are there fewer {s1}s than {s2}s?", "yes" if m1 < m2 else "no", "less_than"))
+
+    # --- query-attribute (anchored; size is confounded by perspective) ---
+    for o in uniq[:2]:
+        attr = rng.choice(["shape", "material", "size"])
+        qs.append((f"What {attr} is the {o['color']} thing?", o[attr], f"query_{attr}"))
+    uniq_shape = [o for o in objs if shapes_present.count(o["shape"]) == 1]
+    if uniq_shape:
+        o = rng.choice(uniq_shape)
+        qs.append((f"What color is the {o['shape']}?", o["color"], "query_color"))
+
+    # --- relational query: nearest neighbor of an anchor ---
+    if uniq and len(objs) >= 2:
+        a = uniq[-1]
+        others = [o for o in objs if o is not a]
+        near = min(
+            others,
+            key=lambda o: (o["3d_coords"][0] - a["3d_coords"][0]) ** 2
+            + (o["3d_coords"][1] - a["3d_coords"][1]) ** 2,
+        )
+        attr = rng.choice(["color", "shape"])
+        qs.append(
+            (f"What {attr} is the thing closest to the {a['color']} thing?",
+             near[attr], f"query_{attr}")
+        )
+
+    # --- compare-attribute (size compare crosses the perspective confound) ---
+    if len(uniq) >= 2:
+        a, b = uniq[0], uniq[1]
+        attr = rng.choice(["shape", "material"])
+        qs.append((
+            f"Is the {a['color']} thing the same {attr} as the {b['color']} thing?",
+            "yes" if a[attr] == b[attr] else "no", f"equal_{attr}",
+        ))
+        c3, d3 = rng.sample(uniq, 2)
+        qs.append((
+            f"Is the {c3['color']} thing the same size as the {d3['color']} thing?",
+            "yes" if c3["size"] == d3["size"] else "no", "equal_size",
+        ))
+    return qs
+
+
 def generate(
     root: str,
     n_train: int = 32,
@@ -278,9 +458,14 @@ def generate(
     render, larger well-separated sprites that survive the 8x8 conv grid,
     crop/rotation-safe margins, and ~12 balanced questions per image across
     all five CLEVR families.
+
+    style="v3" (round 5, "CLEVR-hard"): crowded scenes (4-10 objects at v1
+    sprite scale), partial occlusion, a size-distance perspective confound,
+    and spatial-relational question templates — tuned so original-fp lands
+    in the reference's real-CLEVR accuracy regime instead of saturating.
     """
     rng = random.Random(seed)
-    if style == "v2":
+    if style in ("v2", "v3"):
         H = W = max(image_hw) if image_hw != (120, 160) else 128
     else:
         H, W = image_hw
@@ -292,13 +477,18 @@ def generate(
 
         scenes, questions = [], []
         for idx in range(n_images):
-            objs = _random_scene_v2(rng) if style == "v2" else _random_scene(rng)
+            if style == "v3":
+                objs = _random_scene_v3(rng)
+            elif style == "v2":
+                objs = _random_scene_v2(rng)
+            else:
+                objs = _random_scene(rng)
             fname = f"CLEVR_{split}_{idx:06d}.png"
-            if style == "v2":  # 2x supersample -> LANCZOS: crisp sub-pixel edges
+            if style in ("v2", "v3"):  # 2x supersample -> LANCZOS: crisp edges
                 img = Image.new("RGB", (2 * W, 2 * H), (210, 210, 210))
                 _draw = ImageDraw.Draw(img)
                 for o in sorted(objs, key=lambda o: o["3d_coords"][1]):
-                    _draw_object(_draw, o, 2 * W, 2 * H, style="v2")
+                    _draw_object(_draw, o, 2 * W, 2 * H, style=style)
                 img = img.resize((W, H), Image.LANCZOS)
             else:
                 img = Image.new("RGB", (W, H), (210, 210, 210))
@@ -319,7 +509,10 @@ def generate(
                     "directions": {},
                 }
             )
-            make_qs = _make_questions_v2 if style == "v2" else _make_questions
+            make_qs = {
+                "v3": _make_questions_v3,
+                "v2": _make_questions_v2,
+            }.get(style, _make_questions)
             for q, a, fn in make_qs(rng, objs):
                 questions.append(
                     {
@@ -382,7 +575,7 @@ if __name__ == "__main__":
     p.add_argument("--n-train", type=int, default=32)
     p.add_argument("--n-val", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--style", choices=("v1", "v2"), default="v1")
+    p.add_argument("--style", choices=("v1", "v2", "v3"), default="v1")
     a = p.parse_args()
     generate(a.root, a.n_train, a.n_val, seed=a.seed, style=a.style)
     print(f"wrote synthetic CLEVR fixture to {a.root}")

@@ -2,15 +2,24 @@
 """Serve a trained Relation Network: JSON-lines inference over stdin.
 
 The reference stops at batch evaluation (test.py); this is the deployment
-surface the serving-latency sweep (RESULTS.md) sized: compile one predict
-program at --batch-size, then answer ad-hoc requests at micro-batch
-latency (55 us/question chip time at B=1 on original-fp).
+surface the serving-latency sweep (RESULTS.md) sized: compile a BUCKET
+LADDER of predict programs (--buckets, default 1/8/--batch-size) and route
+each micro-batch to the smallest bucket that fits, so an interactive B=1
+request pays B=1 compute (55 us/question chip time on original-fp).
 
 Protocol: one JSON object per input line ->
   from-pixels:        {"image": "<png path>", "question": "..."}
   state-description:  {"objects": [<CLEVR scene objects>], "question": "..."}
 one JSON object per output line (same order):
-  {"answer": "...", "log_prob": -0.01, "latency_ms": 1.2, "batch": 3}
+  {"answer": "...", "log_prob": -0.01, "latency_ms": 1.2, "batch": 3,
+   "bucket": 8}
+or, for a request that cannot be served (malformed JSON, missing/unreadable
+image, out-of-vocabulary word under the default --oov error, bad fields):
+  {"error": "<reason>"}
+Errors are isolated PER REQUEST: the offending line gets an error object in
+its output slot and the server keeps serving the rest of the batch and all
+later lines. Unknown question words follow --oov: 'error' (default,
+reference semantics) rejects that request; 'unk'/'drop' serve it.
 
 Lines already buffered on stdin are served together as one batch (up to
 --batch-size), so piping a file gets saturation throughput while
@@ -42,6 +51,13 @@ def parse_args(argv=None):
         help="orbax checkpoint path, epoch number, or weights-only .pkl export",
     )
     p.add_argument("--checkpoint-dir", default="model")
+    p.add_argument(
+        "--buckets",
+        default=None,
+        help="comma-separated compiled batch shapes, e.g. '1,8,64' "
+        "(default: 1,8,--batch-size); each micro-batch routes to the "
+        "smallest bucket that fits",
+    )
     return p.parse_args(argv)
 
 
@@ -56,13 +72,17 @@ def main(argv=None):
     cfg = config_from_args(args, dicts)
     from rnet.serve import InferenceServer
 
+    buckets = (
+        [int(b) for b in args.buckets.split(",")] if args.buckets else None
+    )
     server = InferenceServer(
-        cfg, dicts, invert=args.invert, max_batch=args.batch_size
+        cfg, dicts, invert=args.invert, max_batch=args.batch_size, buckets=buckets
     )
     server.load(args.checkpoint, args.checkpoint_dir)
     server.warmup()
     print(
         f"ready: {cfg.name} | max batch {args.batch_size} | "
+        f"buckets {','.join(map(str, server.buckets))} | "
         f"{dicts.n_answers} answers",
         file=sys.stderr,
         flush=True,
@@ -89,8 +109,19 @@ def main(argv=None):
         if not line.strip():
             continue
         batch_lines = drain_available(line)
-        requests = [json.loads(l) for l in batch_lines]
-        for res in server.answer(requests):
+        # Malformed JSON is isolated per line: the bad line gets an error
+        # object in its output slot; the rest of the batch is served.
+        out: list = [None] * len(batch_lines)
+        parsed = []  # (slot, request)
+        for i, l in enumerate(batch_lines):
+            try:
+                parsed.append((i, json.loads(l)))
+            except ValueError as e:
+                out[i] = {"error": f"malformed JSON: {e}"}
+        answered = server.answer([r for _, r in parsed])
+        for (i, _), res in zip(parsed, answered):
+            out[i] = res
+        for res in out:
             print(json.dumps(res), flush=True)
     return 0
 

@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--clevr-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--pipeline", choices=("standard", "device"), default="standard")
+    ap.add_argument(
+        "--mesh",
+        default="data:8",
+        help="global mesh spec; 'data:4,pairs:2' exercises the pair-axis "
+        "sharding (GSPMD constraint path) across process boundaries",
+    )
     args = ap.parse_args()
 
     if args.world == 1:  # comparison topology: one process, 8 local devices
@@ -93,7 +99,7 @@ def main():
         lr=DoublingSchedule(1e-3, gamma=1.0),
         bs=DoublingSchedule(16, gamma=1.0),
         seed=7,
-        mesh_spec="data:8",
+        mesh_spec=args.mesh,
         checkpoint_dir=os.path.join(os.path.dirname(args.out), f"ck{args.rank}"),
         log_interval=1,
         log_fn=lambda *a: None,

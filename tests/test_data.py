@@ -117,6 +117,70 @@ def test_images_only_dataset(fixture_dir):
     assert ds[3]["image"].shape == (128, 128, 3)
 
 
+def test_fixture_v3_hard_task(tmp_path):
+    """Fixture-v3 invariants (round 5): crowding, the perspective radius law,
+    exact labels on the parseable templates (incl. the spatial-relational
+    counts), the full 28-answer train universe, and all five families."""
+    import re
+
+    from rnet.data.categories import question_category
+    from rnet.data.vocab import CLEVR_COLORS
+
+    root = synth.generate(str(tmp_path / "v3"), n_train=12, n_val=4, seed=3, style="v3")
+    with open(os.path.join(root, "scenes", "CLEVR_train_scenes.json")) as f:
+        scenes = {s["image_index"]: s for s in json.load(f)["scenes"]}
+    with open(os.path.join(root, "questions", "CLEVR_train_questions.json")) as f:
+        qs = json.load(f)["questions"]
+
+    counts = [len(s["objects"]) for s in scenes.values()]
+    assert min(counts) >= 3 and max(counts) <= 10
+    assert sum(counts) / len(counts) > 5.0  # crowded on average (v2: 2-5)
+
+    for s in scenes.values():
+        for o in s["objects"]:
+            base = 0.055 if o["size"] == "small" else 0.10
+            depth = (o["3d_coords"][1] + 2.8) / 5.6
+            np.testing.assert_allclose(
+                o["r_frac"], base * (0.75 + 0.5 * depth), rtol=1e-6
+            )
+
+    rel_axis = {"left of": (0, -1), "right of": (0, +1),
+                "behind": (1, -1), "in front of": (1, +1)}
+    n_spatial = 0
+    for q in qs:
+        if q["question_family_index"] == 999:  # answer-universe filler rows
+            continue
+        objs = scenes[q["image_index"]]["objects"]
+        if q["question"] == "How many things are there?":
+            assert q["answer"] == str(len(objs))
+        m = re.match(r"How many (\w+) things are there\?$", q["question"])
+        if m and m.group(1) in CLEVR_COLORS:
+            assert q["answer"] == str(sum(o["color"] == m.group(1) for o in objs))
+        m = re.match(
+            r"How many things are (left of|right of|behind|in front of) "
+            r"the (\w+) thing\?$",
+            q["question"],
+        )
+        if m:
+            n_spatial += 1
+            axis, sign = rel_axis[m.group(1)]
+            anchors = [o for o in objs if o["color"] == m.group(2)]
+            assert len(anchors) == 1  # anchored references are unambiguous
+            a = anchors[0]
+            want = sum(
+                sign * (o["3d_coords"][axis] - a["3d_coords"][axis]) > 0
+                for o in objs
+                if o is not a
+            )
+            assert q["answer"] == str(want)
+    assert n_spatial > 0  # the new relational template actually fires
+
+    assert len({q["answer"] for q in qs}) == 28  # full train answer universe
+    cats = {question_category(q) for q in qs}
+    assert {"count", "exist", "compare_numbers", "query_attribute",
+            "compare_attribute"} <= cats
+
+
 @pytest.mark.parametrize("drop_last", [True, False])
 def test_batch_iterator_shapes(fixture_dir, dicts, drop_last):
     ds = ClevrDataset(fixture_dir, "val", dicts, image_size=128)
