@@ -77,6 +77,17 @@ def add_common_args(p: argparse.ArgumentParser, clevr_required: bool = True) -> 
         "(state-description models; default off = reference behavior, "
         "zero-vector pads participate in pairs)",
     )
+    p.add_argument(
+        "--lstm-pad-drift",
+        dest="lstm_mask_pads",
+        action="store_false",
+        default=None,
+        help="run the LSTM over pad steps like the reference (zero inputs, "
+        "gate-bias state drift; with inverted questions pads lead, so this "
+        "reproduces the reference's pad handling exactly). Default: "
+        "mask-aware carry (documented parity deviation; this flag is the "
+        "A/B switch for quantifying it)",
+    )
     # TPU-native knobs
     p.add_argument(
         "--precision",
@@ -146,6 +157,7 @@ def config_from_args(args: argparse.Namespace, dicts: Dictionaries) -> ModelConf
             "pair_dropout",
             "pair_pool",
             "object_mask",
+            "lstm_mask_pads",
             "compute_dtype",
             "rl_impl",
             "device_augment",

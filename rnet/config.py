@@ -46,6 +46,14 @@ class ModelConfig:
     lstm_word_emb: int = 32
     lstm_hidden: int = 128
     question_max_len: int = 48
+    # True (default): mask-aware LSTM — pad steps carry state through
+    # unchanged, encoding independent of padding length. False: reference
+    # behavior — the recurrence runs over pad steps too (zero inputs via
+    # padding_idx=0, but gate biases drift the state). With the default
+    # question inversion pads PRECEDE the tokens, so False reproduces the
+    # reference's leading pad-bias drift exactly (README "Parity notes";
+    # A/B knob for quantifying the documented deviation).
+    lstm_mask_pads: bool = True
 
     # --- relational core ---
     g_layers: Tuple[int, ...] = (256, 256, 256, 256)

@@ -48,6 +48,7 @@ class RN(nn.Module):
             vocab_size=self.vocab_size,
             emb_dim=cfg.lstm_word_emb,
             hidden=cfg.lstm_hidden,
+            mask_pads=cfg.lstm_mask_pads,
         )
         self.relational = RelationalLayer(
             obj_dim=cfg.obj_feat_dim,

@@ -27,6 +27,11 @@ class QuestionEmbedModel(nn.Module):
     emb_dim: int = 32
     hidden: int = 128
     dtype: jnp.dtype = jnp.float32  # small; fp32 keeps the recurrence stable
+    # False = reference behavior: the recurrence also runs over pad steps
+    # (zero inputs from padding_idx=0; the gate biases drift the state).
+    # With inverted questions pads lead, so this reproduces the reference's
+    # leading pad-bias drift exactly (A/B knob; see config.lstm_mask_pads).
+    mask_pads: bool = True
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -57,8 +62,11 @@ class QuestionEmbedModel(nn.Module):
             i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order
             c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            h = jnp.where(mt > 0, h_new, h)
-            c = jnp.where(mt > 0, c_new, c)
+            if self.mask_pads:
+                h = jnp.where(mt > 0, h_new, h)
+                c = jnp.where(mt > 0, c_new, c)
+            else:  # reference: pad steps update state too (bias drift)
+                h, c = h_new, c_new
             return (h, c), None
 
         h0 = jnp.zeros((B, H), self.dtype)

@@ -62,6 +62,37 @@ def test_lstm_masking_invariance():
     )
 
 
+def test_lstm_pad_drift_mode():
+    """mask_pads=False = reference behavior: identical on pad-free input,
+    pad-length-DEPENDENT when pads are present (the documented deviation)."""
+    masked = QuestionEmbedModel(vocab_size=V, emb_dim=8, hidden=16)
+    drift = QuestionEmbedModel(
+        vocab_size=V, emb_dim=8, hidden=16, mask_pads=False
+    )
+    full = jnp.array([[3, 5, 7, 2, 9, 4]], dtype=jnp.int32)  # no pads
+    params = masked.init(jax.random.key(0), full)
+    np.testing.assert_allclose(
+        np.asarray(masked.apply(params, full)),
+        np.asarray(drift.apply(params, full)),
+        atol=1e-6,
+    )
+    # inverted layout (pads first, as the reference's collate produces):
+    # the drift encoder's output depends on HOW MANY pads precede the
+    # tokens — the gate biases walk the state before the real tokens land.
+    t_inv1 = jnp.array([[0, 0, 0, 7, 5, 3]], dtype=jnp.int32)
+    t_inv2 = jnp.array([[0] * 13 + [7, 5, 3]], dtype=jnp.int32)
+    d1 = np.asarray(drift.apply(params, t_inv1))
+    d2 = np.asarray(drift.apply(params, t_inv2[:, -6:]))  # same 3-pad prefix
+    np.testing.assert_allclose(
+        d1, d2, atol=1e-6
+    )  # equal pad count -> equal encoding (deterministic drift)
+    d_long = np.asarray(drift.apply(params, t_inv2))
+    assert np.abs(d1 - d_long).max() > 1e-4  # more pads -> different state
+    # config plumbing: the knob survives load_config overrides
+    cfg = load_config("original-fp", overrides={"lstm_mask_pads": False})
+    assert cfg.lstm_mask_pads is False
+
+
 def test_g_input_dims_injection():
     assert g_input_dims(26, 128, (256,) * 4, 0) == [52 + 128, 256, 256, 256]
     assert g_input_dims(26, 128, (256,) * 4, 2) == [52, 256, 256 + 128, 256]
