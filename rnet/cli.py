@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 from typing import Any, Dict, Tuple
 
 from .config import DEFAULT_CONFIG_PATH, ModelConfig, load_config
@@ -257,16 +258,20 @@ def load_dicts(
                 src = checkpoint_dir
         if carried is not None:
             w2i, a2i = carried
+            # stderr: serve.py's stdout is a JSON-lines protocol — any
+            # informational print on stdout corrupts a parsing client
             print(
                 f"dictionaries: carried by checkpoint ({src}; "
-                f"{len(w2i)} words, {len(a2i)} answers)"
+                f"{len(w2i)} words, {len(a2i)} answers)",
+                file=sys.stderr,
             )
             return Dictionaries(w2i, a2i, oov=oov)
         print(
             "WARNING: checkpoint carries no dictionaries (pre-round-4 "
             "artifact?) — word/answer indices come from --clevr-dir; if "
             "this is not the original training data, accuracy is "
-            "meaningless (index permutation)."
+            "meaningless (index permutation).",
+            file=sys.stderr,
         )
     if getattr(args, "clevr_dir", None) is None:
         raise SystemExit(

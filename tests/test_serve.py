@@ -310,8 +310,13 @@ def test_serve_cli_stdin_roundtrip(fixture_dir, dicts, tmp_path, monkeypatch, ca
         ]
     )
     assert rc == 0
-    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    # stdout is a JSON-lines PROTOCOL: every non-empty line must parse —
+    # informational prints (e.g. the carried-dictionaries banner) belong on
+    # stderr, or a parsing client dies on its first readline
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(out_lines) == 5
+    for l in out_lines:
+        assert l.startswith("{"), f"non-JSON line on serve stdout: {l!r}"
     results = [json.loads(l) for l in out_lines]
     assert "malformed JSON" in results[1]["error"]
     assert "out-of-vocabulary" in results[3]["error"]
