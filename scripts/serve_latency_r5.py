@@ -45,18 +45,36 @@ def _requests(fixture: str, n: int):
     return out
 
 
-def _read_line(proc, timeout=300.0) -> str:
-    """One stdout line from the server, with a hard timeout."""
-    deadline = time.monotonic() + timeout
-    while time.monotonic() < deadline:
-        r, _, _ = select.select([proc.stdout], [], [], 1.0)
-        if r:
-            line = proc.stdout.readline()
-            if not line:
-                raise RuntimeError("server closed stdout")
-            if line.strip():
-                return line
-    raise TimeoutError("no server response within timeout")
+class _LineReader:
+    """Raw-fd line reader: select() + os.read with own buffering.
+
+    proc.stdout.readline() slurps every available byte into Python's
+    read-ahead buffer, after which select() on the fd reports it empty —
+    when the server emits a burst of answers in one batch, the second
+    _read_line would time out with the data already sitting in the buffer
+    (the exact bug serve.py's iter_microbatches fixes on the server side)."""
+
+    def __init__(self, stream):
+        self.fd = stream.fileno()
+        self.buf = b""
+
+    def read_line(self, timeout=300.0) -> str:
+        """One non-empty stdout line from the server, with a hard timeout."""
+        deadline = time.monotonic() + timeout
+        while True:
+            while b"\n" in self.buf:
+                raw, self.buf = self.buf.split(b"\n", 1)
+                if raw.strip():
+                    return raw.decode()
+            left = deadline - time.monotonic()
+            if left <= 0:
+                raise TimeoutError("no server response within timeout")
+            r, _, _ = select.select([self.fd], [], [], min(left, 1.0))
+            if r:
+                chunk = os.read(self.fd, 1 << 16)
+                if not chunk:
+                    raise RuntimeError("server closed stdout")
+                self.buf += chunk
 
 
 def main():
@@ -97,6 +115,7 @@ def main():
         banner = line
     warmup_s = time.monotonic() - t0
     print(f"server ready in {warmup_s:.1f}s: {banner.strip()}", flush=True)
+    reader = _LineReader(proc.stdout)
 
     reqs = _requests(args.fixture, max(args.n_single, args.burst))
 
@@ -106,7 +125,7 @@ def main():
         t0 = time.monotonic()
         proc.stdin.write(json.dumps(reqs[i]) + "\n")
         proc.stdin.flush()
-        res = json.loads(_read_line(proc))
+        res = json.loads(reader.read_line())
         wall = time.monotonic() - t0
         assert "answer" in res, res
         assert res["bucket"] == 1, f"B=1 request routed to bucket {res['bucket']}"
@@ -118,7 +137,7 @@ def main():
     t0 = time.monotonic()
     proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs[: args.burst]))
     proc.stdin.flush()
-    burst_res = [json.loads(_read_line(proc)) for _ in range(args.burst)]
+    burst_res = [json.loads(reader.read_line()) for _ in range(args.burst)]
     burst_wall = time.monotonic() - t0
     buckets_used = sorted({r["bucket"] for r in burst_res})
     assert all("answer" in r for r in burst_res)

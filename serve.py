@@ -35,7 +35,9 @@ Example:
 from __future__ import annotations
 
 import argparse
+import io
 import json
+import os
 import select
 import sys
 
@@ -88,27 +90,7 @@ def main(argv=None):
         flush=True,
     )
 
-    def drain_available(first_line: str) -> list:
-        """The first line plus whatever else is already buffered (micro-batch)."""
-        lines = [first_line]
-        while len(lines) < args.batch_size:
-            try:
-                r, _, _ = select.select([sys.stdin], [], [], 0)
-            except (OSError, ValueError):  # stdin is not selectable (tests)
-                break
-            if not r:
-                break
-            nxt = sys.stdin.readline()
-            if not nxt:
-                break
-            if nxt.strip():
-                lines.append(nxt)
-        return lines
-
-    for line in sys.stdin:
-        if not line.strip():
-            continue
-        batch_lines = drain_available(line)
+    for batch_lines in iter_microbatches(args.batch_size):
         # Malformed JSON is isolated per line: the bad line gets an error
         # object in its output slot; the rest of the batch is served.
         out: list = [None] * len(batch_lines)
@@ -124,6 +106,69 @@ def main(argv=None):
         for res in out:
             print(json.dumps(res), flush=True)
     return 0
+
+
+def iter_microbatches(max_batch: int):
+    """Yield lists of non-empty request lines: one blocking read for the
+    first, then whatever the client has ALREADY written, up to max_batch.
+
+    This must read the stdin fd RAW (os.read + own line splitting): any
+    buffered reader (``for line in sys.stdin``) slurps every available byte
+    into its private read-ahead buffer on the first readline, after which
+    select() on the fd reports it empty — a pipelined burst of N requests
+    silently degrades to N sequential B=1 batches (caught by the round-5
+    latency driver: burst buckets_used == [1])."""
+    try:
+        fd = sys.stdin.fileno()
+        select.select([fd], [], [], 0)
+    except (OSError, ValueError, AttributeError, io.UnsupportedOperation):
+        # not an OS pipe (tests monkeypatch sys.stdin with StringIO):
+        # greedy grouping of the in-memory stream preserves the documented
+        # "already-buffered lines serve together" semantics
+        pending = [l for l in sys.stdin if l.strip()]
+        while pending:
+            yield pending[:max_batch]
+            pending = pending[max_batch:]
+        return
+
+    buf = b""
+    lines: list = []
+    eof = False
+
+    def take_complete_lines():
+        nonlocal buf
+        while len(lines) < max_batch and b"\n" in buf:
+            raw, buf = buf.split(b"\n", 1)
+            if raw.strip():
+                lines.append(raw.decode("utf-8", "replace"))
+
+    while True:
+        take_complete_lines()
+        if len(lines) >= max_batch:
+            yield lines[:max_batch]
+            lines = lines[max_batch:]
+            continue
+        if eof:
+            if buf.strip():  # final line without trailing newline
+                lines.append(buf.decode("utf-8", "replace"))
+                buf = b""
+            if lines:
+                yield lines
+                lines = []
+            return
+        if lines:
+            # batch has room: take what is already available, but never
+            # block while holding pending requests
+            r, _, _ = select.select([fd], [], [], 0)
+            if not r:
+                yield lines
+                lines = []
+                continue
+        chunk = os.read(fd, 1 << 16)
+        if not chunk:
+            eof = True
+        else:
+            buf += chunk
 
 
 if __name__ == "__main__":

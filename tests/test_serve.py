@@ -324,3 +324,49 @@ def test_serve_cli_stdin_roundtrip(fixture_dir, dicts, tmp_path, monkeypatch, ca
     for res in (results[0], results[2], results[4]):
         assert res["answer"] in answers
         assert res["log_prob"] <= 0.0
+
+
+# ---- stdin micro-batching (serve.py iter_microbatches) ----
+#
+# The reader must consume the stdin fd RAW: any buffered iteration slurps a
+# pipelined burst into Python's read-ahead buffer, select() then reports the
+# fd empty, and every request degrades to its own B=1 batch (observed via
+# the round-5 latency driver: burst buckets_used == [1]). These tests pin
+# the fd path (burst grouping, partial trailing line, interactive blocking)
+# and the non-fd fallback used when tests monkeypatch sys.stdin.
+
+
+def test_iter_microbatches_fd_burst_groups(monkeypatch):
+    import serve as serve_cli
+
+    r, w = os.pipe()
+    os.write(w, b'{"a":1}\n{"a":2}\n\n{"a":3}\n{"a":4}\n{"a":5}\n{"a":6')
+    os.close(w)
+    monkeypatch.setattr("sys.stdin", os.fdopen(r, "r"))
+    batches = list(serve_cli.iter_microbatches(4))
+    assert [len(b) for b in batches] == [4, 2]
+    assert batches[0] == ['{"a":1}', '{"a":2}', '{"a":3}', '{"a":4}']
+    # trailing line without a newline is still a request
+    assert batches[1] == ['{"a":5}', '{"a":6']
+
+
+def test_iter_microbatches_fd_interactive(monkeypatch):
+    import serve as serve_cli
+
+    r, w = os.pipe()
+    monkeypatch.setattr("sys.stdin", os.fdopen(r, "r"))
+    gen = serve_cli.iter_microbatches(4)
+    os.write(w, b"one\n")
+    assert next(gen) == ["one"]  # a single request is served immediately
+    os.write(w, b"two\nthree\n")
+    assert next(gen) == ["two", "three"]  # buffered lines serve together
+    os.close(w)
+    assert list(gen) == []
+
+
+def test_iter_microbatches_non_fd_fallback(monkeypatch):
+    import serve as serve_cli
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("a\n\nb\nc\n"))
+    batches = list(serve_cli.iter_microbatches(2))
+    assert [[l.strip() for l in b] for b in batches] == [["a", "b"], ["c"]]

@@ -236,10 +236,11 @@ def test_export_carries_dicts_and_cli_prefers_them(fixture_dir, dicts, tmp_path,
     args = argparse.Namespace(clevr_dir=str(evil), model="test", oov="error")
     got = load_dicts(args, checkpoint=path, checkpoint_dir=None)
     assert got.answer_to_idx == dicts.answer_to_idx  # carried maps win
-    # a legacy (dict-less) checkpoint warns that indices come from the data dir
+    # a legacy (dict-less) checkpoint warns that indices come from the data
+    # dir — on stderr: serve.py's stdout is a JSON-lines protocol
     capsys.readouterr()
     legacy_dicts = load_dicts(args, checkpoint=legacy, checkpoint_dir=None)
-    assert "carries no dictionaries" in capsys.readouterr().out
+    assert "carries no dictionaries" in capsys.readouterr().err
     assert legacy_dicts.answer_to_idx == perm_a2i
     # without a checkpoint the permuted local cache is (correctly) used
     local = load_dicts(args)
