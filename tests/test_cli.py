@@ -172,7 +172,11 @@ def test_train_cli_supervised_with_watchdog(fixture_dir, tmp_path):
     """--auto-restart supervises a child train.py; --stall-timeout arms the
     watchdog inside it (rnet/utils/watchdog.py). A healthy run completes in
     one child with exit 0; the stall/restart mechanics themselves are pinned
-    by tests/test_watchdog.py."""
+    by tests/test_watchdog.py.
+
+    The child is forced to CPU: only ONE process can hold the TPU chip, and
+    under RNET_TEST_TPU the pytest process already does — a child train.py
+    inheriting the axon env would fight it for the device."""
     ckpt_dir = str(tmp_path / "model")
     results = str(tmp_path / "results")
     rc = train_cli.main(
@@ -182,6 +186,7 @@ def test_train_cli_supervised_with_watchdog(fixture_dir, tmp_path):
             "--epochs", "1",
             "--batch-size", "16",
             "--precision", "float32",
+            "--platform", "cpu",
             "--checkpoint-dir", ckpt_dir,
             "--test-results-dir", results,
             "--log-interval", "100",
