@@ -22,6 +22,7 @@ import threading
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -130,6 +131,46 @@ def put_global(x, sharding: NamedSharding):
         return jax.device_put(x, sharding)
     x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def put_global_chunked(x, sharding: NamedSharding, beat=None,
+                       slab_bytes: int = 256 << 20):
+    """`put_global` for multi-GB host arrays under a stall watchdog.
+
+    A single `device_put` of a campaign-scale image cache (r5: 1.87 GB for a
+    30k-image fixture) can legitimately exceed `--stall-timeout` on the
+    relay-backed chip; the watchdog then kills a healthy init and the
+    supervisor restart loops forever without reaching a training step
+    (observed round 5, `results/v3_probe30k_r5`). This uploads row-slabs of
+    <= `slab_bytes`, forces each slab to land (tiny element fetch — the
+    backend's dispatch is async, so returning from device_put proves
+    nothing), and calls `beat()` between slabs so the watchdog clock bounds
+    one slab, not the whole cache. The slabs are joined by a single compiled
+    concatenate, so HBM transiently holds 2x the cache (fine: <= 4.35 GB
+    caches on a 16 GB v5e).
+
+    Multi-host or small arrays fall through to `put_global` unchanged.
+    """
+    x = np.asarray(x)
+    if jax.process_count() > 1 or x.nbytes <= slab_bytes or x.ndim == 0:
+        if beat is not None:
+            beat()
+        return put_global(x, sharding)
+    rows_per = max(1, int(slab_bytes // max(1, x[:1].nbytes)))
+    slabs = []
+    for r0 in range(0, x.shape[0], rows_per):
+        slab = jax.device_put(x[r0 : r0 + rows_per], sharding)
+        np.asarray(slab[(0,) * x.ndim])  # force the transfer to complete
+        slabs.append(slab)
+        if beat is not None:
+            beat()
+    joined = jax.jit(
+        lambda *xs: jnp.concatenate(xs, axis=0), out_shardings=sharding
+    )(*slabs)
+    np.asarray(joined[(0,) * x.ndim])
+    if beat is not None:
+        beat()
+    return joined
 
 
 def fetch_global(x) -> np.ndarray:

@@ -124,7 +124,9 @@ class Trainer:
                     from ..kernels.augment import pad_flat_cache
 
                     imgs = pad_flat_cache(imgs)
-                return pmesh.put_global(imgs, pmesh.replicated(self.mesh))
+                return pmesh.put_global_chunked(
+                    imgs, pmesh.replicated(self.mesh), beat=self._beat
+                )
             return None
 
         self.train_cache = _device_cache(train_ds, train=True)

@@ -159,3 +159,28 @@ def test_graft_entry_compiles():
     fn, example_args = mod.entry()
     out = jax.jit(fn)(*example_args)
     assert out.shape[-1] == 28
+
+
+def test_put_global_chunked_matches_put_global():
+    """Chunked cache upload (round 5): slab-wise device_put + compiled
+    concatenate must produce the same replicated global array as one
+    put_global, and must beat the watchdog clock between slabs so a
+    multi-GB upload cannot trip --stall-timeout (results/v3_probe30k_r5:
+    a healthy 1.87 GB upload was killed and restart-looped by a 900s
+    watchdog before this path existed)."""
+    mesh = pmesh.make_mesh("data:8")
+    sh = pmesh.replicated(mesh)
+    x = np.arange(13 * 5 * 7, dtype=np.uint8).reshape(13, 5, 7)
+    beats = []
+    out = pmesh.put_global_chunked(
+        x, sh, beat=lambda: beats.append(1), slab_bytes=3 * 5 * 7
+    )
+    assert out.sharding == sh
+    np.testing.assert_array_equal(np.asarray(out), x)
+    # ceil(13/3)=5 slab beats + 1 post-concat beat
+    assert len(beats) == 6
+    # small arrays fall through to the single put (one courtesy beat)
+    beats.clear()
+    out2 = pmesh.put_global_chunked(x, sh, beat=lambda: beats.append(1))
+    np.testing.assert_array_equal(np.asarray(out2), x)
+    assert len(beats) == 1
