@@ -127,9 +127,13 @@ def add_common_args(p: argparse.ArgumentParser, clevr_required: bool = True) -> 
     p.add_argument(
         "--device-augment",
         dest="device_augment",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=None,
-        help="run train-time rotation on device (recommended with --data-pipeline cached)",
+        help="run train-time crop/rotation on device (default ON under "
+        "--data-pipeline cached/device; --no-device-augment trains on the "
+        "deterministic center view — round 5 added the negative form: "
+        "augmentation was previously impossible to disable under the device "
+        "pipeline, which silently voided a no-augment A/B arm)",
     )
     p.add_argument(
         "--augment-impl",
