@@ -31,6 +31,26 @@ def load_annotations(d):
     return notes
 
 
+def rows_from_logs(d):
+    """Fallback source: `Eval Epoch: N accuracy: A nll: L` lines from the
+    campaign's train logs (round 5: v3 campaigns log per-epoch evals but
+    only dump per-family CSVs for the dedicated best-epoch test.py run).
+    Later phases resume earlier epochs; last occurrence of an epoch wins."""
+    pat = re.compile(r"Eval Epoch:\s*(\d+)\s+accuracy:\s*([\d.]+)\s+nll:\s*([\d.]+)")
+    by_epoch = {}
+    for p in sorted(glob.glob(os.path.join(d, "train*.log"))):
+        with open(p) as f:
+            for line in f:
+                m = pat.search(line)
+                if m:
+                    by_epoch[int(m.group(1))] = {
+                        "epoch": int(m.group(1)),
+                        "overall_accuracy": float(m.group(2)),
+                        "mean_nll": float(m.group(3)),
+                    }
+    return list(by_epoch.values())
+
+
 def main(d):
     rows = []
     for p in sorted(glob.glob(os.path.join(d, "val_epoch*_accuracy.csv"))):
@@ -40,7 +60,9 @@ def main(d):
         vals["epoch"] = int(m.group(1))
         rows.append(vals)
     if not rows:
-        sys.exit(f"no val_epoch*_accuracy.csv files under {d}")
+        rows = rows_from_logs(d)
+    if not rows:
+        sys.exit(f"no val_epoch*_accuracy.csv or train*.log evals under {d}")
     rows.sort(key=lambda r: r["epoch"])
     notes = load_annotations(d)
     # union over all epochs: per-category rows may appear mid-campaign
