@@ -268,7 +268,8 @@ def _make_questions_v2(rng: random.Random, objs: List[Dict]) -> List[Tuple[str, 
 
 
 def _random_scene_v3(
-    rng: random.Random, n_min: int = 4, n_max: int = 10, _depth: int = 0
+    rng: random.Random, n_min: int = 4, n_max: int = 10, sep: float = 0.55,
+    _depth: int = 0
 ) -> List[Dict]:
     """Fixture-v3 "CLEVR-hard" scenes (round 5: restore accuracy signal —
     fixture-v2 saturated at 99.98%, so accuracy comparisons lost all power).
@@ -306,7 +307,7 @@ def _random_scene_v3(
                 continue
             if all(
                 (x - tx) ** 2 + (y - ty) ** 2
-                >= max(0.55 * (r_units + tr), 0.9 * max(r_units, tr)) ** 2
+                >= max(sep * (r_units + tr), 0.9 * max(r_units, tr)) ** 2
                 for tx, ty, tr in taken
             ):
                 placed = True
@@ -327,7 +328,7 @@ def _random_scene_v3(
             }
         )
     if len(objs) < 3 and _depth < 20:  # starved scene: resample
-        return _random_scene_v3(rng, n_min, n_max, _depth + 1)
+        return _random_scene_v3(rng, n_min, n_max, sep, _depth + 1)
     return objs
 
 
@@ -451,6 +452,8 @@ def generate(
     image_hw: Tuple[int, int] = (120, 160),
     seed: int = 0,
     style: str = "v1",
+    v3_objects: Tuple[int, int] = (4, 10),
+    v3_min_sep: float = 0.55,
 ) -> str:
     """Write a miniature CLEVR-schema dataset under ``root``. Returns root.
 
@@ -478,7 +481,7 @@ def generate(
         scenes, questions = [], []
         for idx in range(n_images):
             if style == "v3":
-                objs = _random_scene_v3(rng)
+                objs = _random_scene_v3(rng, v3_objects[0], v3_objects[1], v3_min_sep)
             elif style == "v2":
                 objs = _random_scene_v2(rng)
             else:
@@ -576,6 +579,18 @@ if __name__ == "__main__":
     p.add_argument("--n-val", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--style", choices=("v1", "v2", "v3"), default="v1")
+    p.add_argument(
+        "--v3-objects", type=int, nargs=2, default=(4, 10), metavar=("MIN", "MAX"),
+        help="v3 scene crowding range (difficulty knob; default 4 10)",
+    )
+    p.add_argument(
+        "--v3-min-sep", type=float, default=0.55,
+        help="v3 occlusion knob: min center distance as a fraction of the "
+        "radius sum (0.55 = heavy partial occlusion, >=1.0 = fully separated)",
+    )
     a = p.parse_args()
-    generate(a.root, a.n_train, a.n_val, seed=a.seed, style=a.style)
+    generate(
+        a.root, a.n_train, a.n_val, seed=a.seed, style=a.style,
+        v3_objects=tuple(a.v3_objects), v3_min_sep=a.v3_min_sep,
+    )
     print(f"wrote synthetic CLEVR fixture to {a.root}")
